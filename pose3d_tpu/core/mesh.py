@@ -1,0 +1,70 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-device (SURVEY.md §2.2: no torch.distributed anywhere);
+this framework is mesh-native from the start. The primary axis is ``data``
+(batch sharding, gradient all-reduce over ICI); an optional ``model`` axis is
+reserved for tensor-parallel sharding of the ViT MLP/attention.
+
+Everything here is plain jax.sharding — XLA GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int] = (-1,),
+    axes: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a device mesh.
+
+    ``shape`` may contain a single ``-1`` which absorbs all remaining devices
+    (like a reshape). Defaults to a 1-D all-devices data-parallel mesh.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) if len(shape) > 1 else 1
+        shape[shape.index(-1)] = len(devices) // known
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.array(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    """Sharding that splits dimension ``batch_axis`` over the ``data`` mesh
+    axis and replicates the rest."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the leading axis sharded over
+    the ``data`` mesh axis. This is the host→device boundary, replacing the
+    reference's ``pin_memory`` + ``.to(device, non_blocking=True)``
+    (reference src/train.py:76-79)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape.get("data", 1)
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n}")
+    return global_batch // n
