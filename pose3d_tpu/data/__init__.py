@@ -1,0 +1,8 @@
+from pose3d_tpu.data.chunks import (  # noqa: F401
+    list_chunk_files,
+    extract_chunk,
+    load_chunk_samples,
+    decode_sample,
+)
+from pose3d_tpu.data.pipeline import StreamingChunkedDataset, BatchLoader  # noqa: F401
+from pose3d_tpu.data.collate import collate_fixed  # noqa: F401

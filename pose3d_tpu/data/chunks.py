@@ -1,0 +1,207 @@
+"""Chunked-dataset container format, bit-compatible with the reference.
+
+On-disk layout (produced by the reference's dataset_chunker.py:829-896 and by
+pose3d_tpu.data.chunker):
+
+  <chunks_dir>/<prefix>/*chunk_XXXXXX.tar.{gz,bz2,xz}
+    └─ chunk_XXXXXX/
+        ├─ samples.pkl           # list of sample dicts
+        └─ data/NNNNNN/{image.jpg, depth.png, metadata.json}
+
+Sample dicts carry: image_file, depth_file, metadata_file (paths relative to
+the chunk dir), joints_3d (camera-space, [17,3]), camera_params {R,t,f,c},
+bbox, action, subaction, frame_idx, cam_idx, subject
+(reference dataset_chunker.py:582-596).
+
+Decoding semantics (reference src/dataset/chunked_dataset.py:69-232):
+  * RGB: uint8 → float32/255 → resize to the model input size.
+  * depth PNG: uint8/255 → resize → ×(depth_max−depth_min)+depth_min, i.e.
+    rescaled back toward metric using the stored min/max.
+  * keypoints: first person only, (x, y) normalized by the ORIGINAL image
+    width/height from metadata.
+  * joints_3d: root-centered (root-relative, IND-P convention).
+
+Outputs are numpy NHWC arrays ready for fixed-shape batching (the TPU input
+contract) — no torch anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pickle
+import re
+import tarfile
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger("pose3d_tpu.data")
+
+
+def list_chunk_files(
+    chunks_dir, prefix: str = "", chunk_indices: Optional[Sequence[int]] = None
+) -> List[Path]:
+    """Find chunk archives, optionally filtered by 6-digit chunk index
+    (parity with reference chunked_dataset.py:447-456)."""
+    d = Path(chunks_dir) / prefix if prefix else Path(chunks_dir)
+    files = sorted(d.glob("*.tar.*"))
+    if chunk_indices is not None:
+        keep = []
+        for idx in chunk_indices:
+            pat = f"{idx:06d}.tar."
+            keep.extend(f for f in files if pat in f.name)
+        files = keep
+    return files
+
+
+def chunk_id_from_filename(path) -> int:
+    """Extract the chunk id from a filename like ``human36m_chunk_000012.tar.gz``
+    (reference chunked_dataset.py:314-327)."""
+    m = re.search(r"chunk_(\d+)", Path(path).name)
+    return int(m.group(1)) if m else 0
+
+
+def extract_chunk(tar_path, cache_dir) -> Path:
+    """Extract a chunk archive into ``cache_dir``; skip if already extracted
+    (reference chunked_dataset.py:329-341). Returns the chunk directory."""
+    tar_path = Path(tar_path)
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    chunk_id = chunk_id_from_filename(tar_path)
+    chunk_dir = cache_dir / f"chunk_{chunk_id:06d}"
+    if not (chunk_dir / "samples.pkl").exists():
+        with tarfile.open(tar_path, "r:*") as tar:
+            tar.extractall(path=cache_dir, filter="data")
+        # Some chunkers use unpadded dir names; normalize.
+        if not chunk_dir.exists():
+            for cand in cache_dir.glob("chunk_*"):
+                if cand.is_dir() and chunk_id_from_filename(cand.name) == chunk_id:
+                    cand.rename(chunk_dir)
+                    break
+    return chunk_dir
+
+
+def load_chunk_samples(chunk_dir) -> List[Dict]:
+    with open(Path(chunk_dir) / "samples.pkl", "rb") as f:
+        return pickle.load(f)
+
+
+def _first_person_keypoints(keypoints_data) -> Optional[np.ndarray]:
+    """Extract the first person's (x, y) keypoints from the metadata's
+    list-of-dicts (or list-of-list-of-dicts) layout
+    (reference chunked_dataset.py:34-66)."""
+    if (
+        isinstance(keypoints_data, list)
+        and keypoints_data
+        and isinstance(keypoints_data[0], list)
+    ):
+        person = keypoints_data[0]
+    elif isinstance(keypoints_data, list) and all(
+        isinstance(kp, dict) for kp in keypoints_data
+    ):
+        person = keypoints_data
+    else:
+        return None
+    if not person:
+        return None
+    return np.array(
+        [[float(kp["x"]), float(kp["y"])] for kp in person], dtype=np.float32
+    )
+
+
+def _resize(img: np.ndarray, size_hw, interpolation=cv2.INTER_LINEAR):
+    h, w = size_hw
+    return cv2.resize(img, (w, h), interpolation=interpolation)
+
+
+def decode_sample(
+    sample: Dict,
+    chunk_dir,
+    image_size=(500, 500),
+    num_joints: int = 17,
+) -> Optional[Dict]:
+    """Decode one sample dict into fixed-shape numpy arrays (NHWC).
+
+    Returns None on any failure (per-sample skip-on-error, reference
+    chunked_dataset.py:234-244).
+    """
+    chunk_dir = Path(chunk_dir)
+    try:
+        # 1/2. RGB + depth images.
+        image_path = chunk_dir / sample["image_file"]
+        img_bgr = cv2.imread(str(image_path), cv2.IMREAD_COLOR)
+        if img_bgr is None:
+            logger.error("RGB image not found/undecodable: %s", image_path)
+            return None
+        orig_h, orig_w = img_bgr.shape[:2]
+        img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
+        img = _resize(img, image_size).astype(np.float32) / 255.0  # [H,W,3]
+
+        depth_path = chunk_dir / sample["depth_file"]
+        depth_raw = cv2.imread(str(depth_path), cv2.IMREAD_GRAYSCALE)
+        if depth_raw is None:
+            logger.error("Depth image not found/undecodable: %s", depth_path)
+            return None
+        depth01 = _resize(depth_raw, image_size).astype(np.float32) / 255.0
+
+        # 3. Metadata.
+        metadata = {}
+        meta_file = sample.get("metadata_file")
+        if meta_file:
+            meta_path = chunk_dir / meta_file
+            if meta_path.is_file():
+                with open(meta_path) as f:
+                    metadata = json.load(f)
+            else:
+                logger.error("Metadata file missing: %s", meta_path)
+                return None
+
+        # 4. Depth rescale toward metric using stored min/max
+        #    (reference chunked_dataset.py:159-167).
+        dmin = float(sample.get("depth_min", metadata.get("depth_min", 0.0)))
+        dmax = float(sample.get("depth_max", metadata.get("depth_max", 1.0)))
+        depth = (depth01 * (dmax - dmin) + dmin)[..., None]  # [H,W,1]
+
+        # 5/6. Keypoints of the first person, normalized by ORIGINAL size.
+        kp_src = sample.get("keypoints", metadata.get("keypoints"))
+        kpts = _first_person_keypoints(kp_src)
+        if kpts is None or kpts.shape[0] == 0:
+            logger.warning("No valid keypoints for %s", sample.get("image_file"))
+            return None
+        size_list = sample.get(
+            "image_size", metadata.get("image_size", [float(orig_w), float(orig_h)])
+        )
+        img_w, img_h = float(size_list[0]), float(size_list[1])
+        kpts = kpts.copy()
+        kpts[:, 0] /= img_w
+        kpts[:, 1] /= img_h
+        # pad/truncate to num_joints for static shapes
+        if kpts.shape[0] != num_joints:
+            out = np.zeros((num_joints, 2), np.float32)
+            n = min(num_joints, kpts.shape[0])
+            out[:n] = kpts[:n]
+            kpts = out
+
+        # 7. Root-relative 3D joints (reference chunked_dataset.py:205-206).
+        joints = np.asarray(sample["joints_3d"], dtype=np.float32)
+        joints = joints - joints[0:1]
+
+        return {
+            "image": img,
+            "depth": depth,
+            "keypoints_2d": kpts,
+            "joints_3d": joints,
+            "camera_params": sample.get("camera_params"),
+            "image_path": sample.get("image_file"),
+            "action": sample.get("action"),
+            "subaction": sample.get("subaction"),
+            "image_size": np.array([img_w, img_h], np.float32),
+            "frame_idx": sample.get("frame_idx"),
+            "num_joints": num_joints,
+        }
+    except Exception:
+        logger.exception("Failed to decode sample %s", sample.get("image_file"))
+        return None

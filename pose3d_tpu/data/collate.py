@@ -1,0 +1,72 @@
+"""Fixed-shape batching.
+
+The reference collator pads images to the max H/W in each batch
+(src/dataset/collator.py:21-44) — a dynamic shape per batch, which is
+poison for XLA (every new max recompiles). Here batches are padded to a
+STATIC target size: the common case (all samples already at the model input
+size) is a plain stack; augmented samples of other sizes are zero-padded
+bottom/right exactly like the reference, or center-cropped if larger.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _pad_or_crop(arr: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Zero-pad bottom/right (reference collator.py:33-41) or crop top-left
+    to reach the static target size."""
+    th, tw = target_hw
+    h, w = arr.shape[:2]
+    if h > th:
+        arr = arr[:th]
+        h = th
+    if w > tw:
+        arr = arr[:, :tw]
+        w = tw
+    if h < th or w < tw:
+        pad = [(0, th - h), (0, tw - w)] + [(0, 0)] * (arr.ndim - 2)
+        arr = np.pad(arr, pad)
+    return arr
+
+
+def collate_fixed(
+    batch: List[Dict], image_size: Optional[Tuple[int, int]] = None
+) -> Dict:
+    """Collate decoded samples into fixed-shape numpy batch arrays.
+
+    Returns the same key set as the reference collator
+    (src/dataset/collator.py:46-59): stacked image/depth/keypoints_2d/
+    joints_3d/image_size plus passthrough lists, and padding info.
+    """
+    if image_size is None:
+        image_size = batch[0]["image"].shape[:2]
+    images = np.stack([_pad_or_crop(s["image"], image_size) for s in batch])
+    depths = np.stack([_pad_or_crop(s["depth"], image_size) for s in batch])
+    return {
+        "image": np.ascontiguousarray(images, np.float32),
+        "depth": np.ascontiguousarray(depths, np.float32),
+        "keypoints_2d": np.stack([s["keypoints_2d"] for s in batch]).astype(
+            np.float32
+        ),
+        "joints_3d": np.stack([s["joints_3d"] for s in batch]).astype(np.float32),
+        "camera_params": [s.get("camera_params") for s in batch],
+        "image_path": [s.get("image_path") for s in batch],
+        "action": [s.get("action") for s in batch],
+        "subaction": [s.get("subaction") for s in batch],
+        "image_size": np.stack([s["image_size"] for s in batch]),
+        "frame_idx": [s.get("frame_idx") for s in batch],
+        "padding": [tuple(image_size)] * len(batch),
+    }
+
+
+def device_batch(batch: Dict) -> Dict:
+    """Strip host-only fields, keeping the four tensors the model consumes."""
+    return {
+        "image": batch["image"],
+        "depth": batch["depth"],
+        "keypoints_2d": batch["keypoints_2d"],
+        "joints_3d": batch["joints_3d"],
+    }

@@ -1,0 +1,297 @@
+"""Streaming chunked input pipeline (host side).
+
+Mirrors the reference's architecture (src/dataset/chunked_dataset.py:267-620)
+— a background prefetcher thread extracts + decodes whole chunks into a
+bounded queue while the consumer iterates the previous chunk — with two
+TPU-first changes:
+
+  * **host sharding instead of DataLoader workers**: chunks are split by
+    (shard_id, num_shards) exactly like the reference's per-worker chunk
+    split (chunked_dataset.py:511-514); in multi-host SPMD each host passes
+    its process index.
+  * **fixed-shape batches**: the BatchLoader emits static-size numpy
+    batches (see collate.py) ready for ``jax.device_put`` with a sharded
+    layout — the host→device boundary replacing pin_memory/non_blocking
+    (main.py:188-189).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import random
+import shutil
+import tempfile
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+from pose3d_tpu.data.chunks import (
+    chunk_id_from_filename,
+    decode_sample,
+    extract_chunk,
+    list_chunk_files,
+    load_chunk_samples,
+)
+from pose3d_tpu.data.collate import collate_fixed
+
+logger = logging.getLogger("pose3d_tpu.data")
+
+
+class ChunkPrefetcher:
+    """Background thread: extract chunk → decode all samples (thread pool)
+    → bounded queue (reference chunked_dataset.py:267-399)."""
+
+    def __init__(
+        self,
+        chunk_files: Sequence[Path],
+        cache_dir,
+        image_size=(500, 500),
+        max_chunks_in_memory: int = 2,
+        decode_workers: int = 8,
+        chunk_timeout_s: float = 300.0,
+        augmentor: Optional[Callable[[Dict], Dict]] = None,
+    ):
+        self.chunk_files = [Path(f) for f in chunk_files]
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.image_size = tuple(image_size)
+        self.decode_workers = decode_workers
+        self.chunk_timeout_s = chunk_timeout_s
+        self.augmentor = augmentor
+
+        self.chunk_queue: "queue.Queue" = queue.Queue(maxsize=max_chunks_in_memory)
+        self.stop_event = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _decode_chunk(self, chunk_file: Path):
+        chunk_id = chunk_id_from_filename(chunk_file)
+        chunk_dir = extract_chunk(chunk_file, self.cache_dir)
+        samples = load_chunk_samples(chunk_dir)
+        decoded = []
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as ex:
+            for out in ex.map(
+                lambda s: decode_sample(s, chunk_dir, self.image_size), samples
+            ):
+                if out is not None:
+                    decoded.append(out)
+        logger.info(
+            "chunk %d: decoded %d/%d samples", chunk_id, len(decoded), len(samples)
+        )
+        return chunk_id, decoded
+
+    def _worker(self):
+        for chunk_file in self.chunk_files:
+            if self.stop_event.is_set():
+                return
+            try:
+                item = self._decode_chunk(chunk_file)
+            except Exception:
+                logger.exception("Error prefetching chunk %s", chunk_file)
+                continue
+            while not self.stop_event.is_set():
+                try:
+                    self.chunk_queue.put(item, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+        # sentinel: no more chunks
+        while not self.stop_event.is_set():
+            try:
+                self.chunk_queue.put(None, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
+    def get_next_chunk(self):
+        """Next (chunk_id, samples) or None at end-of-stream / timeout
+        (reference chunked_dataset.py:371-379)."""
+        try:
+            return self.chunk_queue.get(timeout=self.chunk_timeout_s)
+        except queue.Empty:
+            logger.warning("Timeout waiting for next chunk")
+            return None
+
+    def close(self):
+        self.stop_event.set()
+        while True:
+            try:
+                self.chunk_queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5)
+
+
+class StreamingChunkedDataset:
+    """Iterable over decoded samples streamed from tar chunks
+    (reference chunked_dataset.py:402-541).
+
+    Args mirror the reference's; ``shard_id``/``num_shards`` generalize the
+    DataLoader-worker chunk split to per-host sharding.
+    """
+
+    def __init__(
+        self,
+        prefix: str,
+        chunks_dir,
+        chunk_indices: Optional[Sequence[int]] = None,
+        image_size=(500, 500),
+        use_augmentation: bool = False,
+        augmentation_config: Optional[Dict] = None,
+        cache_dir=None,
+        max_chunks_in_memory: int = 2,
+        shuffle: bool = True,
+        shuffle_chunks: bool = True,
+        seed: int = 42,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        decode_workers: int = 8,
+    ):
+        self.image_size = tuple(image_size)
+        self.shuffle = shuffle
+        self.shuffle_chunks = shuffle_chunks
+        self.seed = seed
+        self.training = False
+        self.dataset_name = "Human3.6M"
+        self.num_joints = 17
+
+        self.chunk_files = list_chunk_files(chunks_dir, prefix, chunk_indices)
+        logger.info("Found %d chunk files", len(self.chunk_files))
+
+        # Shard chunks across hosts (reference chunked_dataset.py:511-514).
+        if num_shards > 1:
+            per = -(-len(self.chunk_files) // num_shards)
+            self.chunk_files = self.chunk_files[
+                shard_id * per : (shard_id + 1) * per
+            ]
+
+        self.augmentor = None
+        if use_augmentation:
+            from pose3d_tpu.data.augment import PoseAugmentor
+
+            self.augmentor = PoseAugmentor(**(augmentation_config or {}))
+
+        if cache_dir:
+            self.cache_dir = Path(cache_dir) / prefix / f"shard_{shard_id}"
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+            self._own_tempdir = False
+        else:
+            self.cache_dir = Path(tempfile.mkdtemp(prefix="pose3d_chunks_"))
+            self._own_tempdir = True
+
+        self.max_chunks_in_memory = max_chunks_in_memory
+        self.decode_workers = decode_workers
+        self._epoch = 0
+
+    def __len__(self):
+        # Estimated length: nominal 1000 samples/chunk
+        # (reference chunked_dataset.py:485).
+        return 1000 * len(self.chunk_files)
+
+    def __del__(self):
+        if getattr(self, "_own_tempdir", False):
+            shutil.rmtree(self.cache_dir, ignore_errors=True)
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = random.Random(self.seed + self._epoch)
+        self._epoch += 1
+        files = list(self.chunk_files)
+        if self.shuffle_chunks:
+            rng.shuffle(files)
+        prefetcher = ChunkPrefetcher(
+            files,
+            self.cache_dir,
+            image_size=self.image_size,
+            max_chunks_in_memory=self.max_chunks_in_memory,
+            decode_workers=self.decode_workers,
+        )
+        try:
+            while True:
+                item = prefetcher.get_next_chunk()
+                if item is None:
+                    return
+                _, samples = item
+                idx = list(range(len(samples)))
+                if self.shuffle:
+                    rng.shuffle(idx)
+                for i in idx:
+                    s = samples[i]
+                    if self.augmentor is not None and self.training:
+                        s = self.augmentor(s)
+                    yield s
+        finally:
+            prefetcher.close()
+
+
+class BatchLoader:
+    """Batches a sample iterable into fixed-shape numpy batches, with a
+    background thread keeping ``prefetch`` batches ready (the role of the
+    reference's DataLoader prefetch_factor, main.py:185-193)."""
+
+    def __init__(
+        self,
+        dataset: StreamingChunkedDataset,
+        batch_size: int,
+        image_size=None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        loop: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.image_size = image_size or dataset.image_size
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.loop = loop
+
+    def _batches_once(self):
+        buf: List[Dict] = []
+        for sample in self.dataset:
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield collate_fixed(buf, self.image_size)
+                buf = []
+        if buf and not self.drop_last:
+            yield collate_fixed(buf, self.image_size)
+
+    def _batches(self):
+        while True:
+            yield from self._batches_once()
+            if not self.loop:
+                return
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def feeder():
+            try:
+                for b in self._batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=1.0)
+                        return
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()

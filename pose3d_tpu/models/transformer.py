@@ -1,0 +1,330 @@
+"""Transformer (ViT-based) lifting model (Flax / TPU-first).
+
+Capability parity with the reference (src/models/transformers.py:140-373):
+
+  * image/depth stream: a ViT backbone over the 4-channel [RGB|depth]
+    input. The reference wraps timm's pretrained ``vit_base_patch16_384``
+    and inflates its patch-embed conv from 3 to 4 channels
+    (transformers.py:184-224); here the backbone is a native Flax ViT with
+    the same geometry (patch 16, depth 12, dim 768, 512×512 → 1024 tokens
+    + CLS) and a weight-porting hook (``pose3d_tpu.stage1.port``) that
+    performs the same RGB-copy + mean-channel inflation when a pretrained
+    torch checkpoint is supplied.
+  * heatmap stream: Gaussian heatmaps (64×64, σ=2) → conv patch-embed
+    (16×16 → 16 tokens) + learned positional embedding.
+  * 2 bidirectional cross-modal fusion blocks, then a final CLS token +
+    positional embedding over 1+1024+16 tokens, 4 encoder blocks, LayerNorm,
+    CLS → MLP head (1024, 512, 256).
+
+TPU-first: attention runs through pose3d_tpu.ops.attention (Pallas-ready),
+compute dtype bf16 with fp32 LayerNorm/softmax, all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pose3d_tpu.core.config import TransformerModelConfig
+from pose3d_tpu.models.common import PoseRegressionHead
+from pose3d_tpu.ops.activations import get_activation
+from pose3d_tpu.ops.attention import dot_product_attention
+from pose3d_tpu.ops.heatmap import gaussian_heatmaps
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV projection + attention core + output projection."""
+
+    num_heads: int
+    dropout: float = 0.0
+    attention_backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, *, deterministic: bool = True):
+        d_model = q_in.shape[-1]
+        head_dim = d_model // self.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (self.num_heads, head_dim), axis=-1, name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        q = dense("query")(q_in)
+        k = dense("key")(kv_in)
+        v = dense("value")(kv_in)
+        out = dot_product_attention(q, k, v, backend=self.attention_backend)
+        out = nn.DenseGeneral(
+            d_model, axis=(-2, -1), name="out",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+class Mlp(nn.Module):
+    hidden_ratio: float = 4.0
+    dropout: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        d = x.shape[-1]
+        h = int(d * self.hidden_ratio)
+        x = nn.Dense(h, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = get_activation(self.activation)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+def _ln(dtype, param_dtype, name=None):
+    # LayerNorm statistics in fp32 for bf16 inputs.
+    return nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=param_dtype,
+                        name=name)
+
+
+class TransformerEncoderBlock(nn.Module):
+    """Pre-LN self-attention block (reference src/models/transformers.py:49-82)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation: str = "gelu"
+    attention_backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        y = _ln(self.dtype, self.param_dtype)(x)
+        y = MultiHeadAttention(
+            self.num_heads, self.dropout, self.attention_backend,
+            self.dtype, self.param_dtype,
+        )(y, y, deterministic=deterministic)
+        x = x + y
+        y = _ln(self.dtype, self.param_dtype)(x)
+        y = Mlp(self.mlp_ratio, self.dropout, self.activation,
+                self.dtype, self.param_dtype)(y, deterministic=deterministic)
+        return x + y
+
+
+class CrossModalFusionBlock(nn.Module):
+    """Bidirectional cross-attention between image and heatmap token streams
+    plus per-stream MLPs (reference src/models/transformers.py:85-137)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation: str = "gelu"
+    attention_backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_img, x_hm, *, deterministic: bool = True):
+        det = deterministic
+        # img attends to heatmap tokens
+        q = _ln(self.dtype, self.param_dtype)(x_img)
+        kv = _ln(self.dtype, self.param_dtype)(x_hm)
+        x_img = x_img + MultiHeadAttention(
+            self.num_heads, self.dropout, self.attention_backend,
+            self.dtype, self.param_dtype, name="img_to_hm",
+        )(q, kv, deterministic=det)
+        # heatmap attends to (updated) image tokens
+        q = _ln(self.dtype, self.param_dtype)(x_hm)
+        kv = _ln(self.dtype, self.param_dtype)(x_img)
+        x_hm = x_hm + MultiHeadAttention(
+            self.num_heads, self.dropout, self.attention_backend,
+            self.dtype, self.param_dtype, name="hm_to_img",
+        )(q, kv, deterministic=det)
+        # per-stream MLPs
+        x_img = x_img + Mlp(
+            self.mlp_ratio, self.dropout, self.activation,
+            self.dtype, self.param_dtype, name="mlp_img",
+        )(_ln(self.dtype, self.param_dtype)(x_img), deterministic=det)
+        x_hm = x_hm + Mlp(
+            self.mlp_ratio, self.dropout, self.activation,
+            self.dtype, self.param_dtype, name="mlp_hm",
+        )(_ln(self.dtype, self.param_dtype)(x_hm), deterministic=det)
+        return x_img, x_hm
+
+
+class PatchEmbedding(nn.Module):
+    """Conv patch projection [B,H,W,C] -> [B, N, D]
+    (reference src/models/transformers.py:33-46)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        if x.shape[1] % p or x.shape[2] % p:
+            raise ValueError(
+                f"Image dims {x.shape[1]}x{x.shape[2]} must be divisible by "
+                f"patch size {p}."
+            )
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x)
+        return x.reshape(x.shape[0], -1, self.embed_dim)
+
+
+class ViTBackbone(nn.Module):
+    """Plain ViT encoder (geometry of vit_base_patch16 at 512×512):
+    patch-embed → [CLS]+pos-embed → N pre-LN blocks → LayerNorm.
+
+    Stands in for the reference's timm backbone
+    (src/models/transformers.py:174-179); pretrained torch weights can be
+    ported onto it including the 3→4 channel patch-embed inflation.
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attention_backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B = x.shape[0]
+        tokens = PatchEmbedding(
+            self.patch_size, self.embed_dim, self.dtype, self.param_dtype,
+            name="patch_embed",
+        )(x)
+        n = tokens.shape[1]
+        cls = self.param(
+            "cls_token",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1, self.embed_dim), self.param_dtype,
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1 + n, self.embed_dim), self.param_dtype,
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(tokens.dtype),
+             tokens], axis=1,
+        )
+        tokens = tokens + pos.astype(tokens.dtype)
+        tokens = nn.Dropout(self.dropout, deterministic=deterministic)(tokens)
+        for i in range(self.depth):
+            tokens = TransformerEncoderBlock(
+                self.num_heads, self.mlp_ratio, self.dropout, self.dropout,
+                "gelu", self.attention_backend, self.dtype, self.param_dtype,
+                name=f"block_{i}",
+            )(tokens, deterministic=deterministic)
+        return _ln(self.dtype, self.param_dtype, name="norm")(tokens)
+
+
+class TransformerPoseEstimation(nn.Module):
+    """Transformer 3D pose lifting model
+    (reference src/models/transformers.py:140-373).
+
+    forward(image [B,H,W,3], depth [B,H,W,1], keypoints_2d [B,J,2])
+      -> joints_3d [B,J,3]
+    """
+
+    config: TransformerModelConfig
+    attention_backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, depth, keypoints_2d, *, train: bool = False):
+        cfg = self.config
+        det = not train
+        B = image.shape[0]
+        D = cfg.transformer_embed_dim
+
+        # --- image/depth stream (reference transformers.py:326-346) ---
+        x = jnp.concatenate(
+            [image.astype(self.dtype), depth.astype(self.dtype)], axis=-1
+        )
+        vit_tokens = ViTBackbone(
+            embed_dim=D, depth=cfg.vit_depth, num_heads=cfg.vit_heads,
+            patch_size=cfg.vit_patch_size, mlp_ratio=4.0,
+            dropout=0.0, attention_backend=self.attention_backend,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="vit_backbone",
+        )(x, deterministic=det)
+        img_tokens = vit_tokens[:, 1:]  # strip CLS prefix token
+
+        # --- heatmap stream (reference transformers.py:238-253, 348-350) ---
+        heatmaps = gaussian_heatmaps(
+            keypoints_2d, cfg.heatmap_size, cfg.heatmap_sigma, dtype=self.dtype
+        )
+        hm_tokens = PatchEmbedding(
+            cfg.heatmap_patch_size, D, self.dtype, self.param_dtype,
+            name="heatmap_patch_embed",
+        )(heatmaps)
+        n_hm = hm_tokens.shape[1]
+        pos_hm = self.param(
+            "pos_embed_hm",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_hm, D), self.param_dtype,
+        )
+        hm_tokens = hm_tokens + pos_hm.astype(hm_tokens.dtype)
+
+        # --- cross-modal fusion (reference transformers.py:256-268, 352-356) ---
+        for i in range(cfg.num_cross_modal_layers):
+            img_tokens, hm_tokens = CrossModalFusionBlock(
+                cfg.transformer_heads, cfg.transformer_mlp_ratio,
+                cfg.transformer_dropout_rate,
+                cfg.transformer_attention_dropout_rate,
+                cfg.activation, self.attention_backend,
+                self.dtype, self.param_dtype, name=f"fusion_{i}",
+            )(img_tokens, hm_tokens, deterministic=det)
+
+        # --- final encoder over [CLS | img | hm] (transformers.py:271-304) ---
+        n_total = 1 + img_tokens.shape[1] + n_hm
+        cls = self.param(
+            "final_cls_token",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1, D), self.param_dtype,
+        )
+        pos = self.param(
+            "final_pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_total, D), self.param_dtype,
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, D)).astype(img_tokens.dtype),
+             img_tokens, hm_tokens], axis=1,
+        )
+        tokens = tokens + pos.astype(tokens.dtype)
+        tokens = nn.Dropout(
+            cfg.transformer_dropout_rate, deterministic=det
+        )(tokens)
+        for i in range(cfg.final_encoder_depth):
+            tokens = TransformerEncoderBlock(
+                cfg.transformer_heads, cfg.transformer_mlp_ratio,
+                cfg.transformer_dropout_rate,
+                cfg.transformer_attention_dropout_rate,
+                cfg.activation, self.attention_backend,
+                self.dtype, self.param_dtype, name=f"final_block_{i}",
+            )(tokens, deterministic=det)
+
+        cls_out = _ln(self.dtype, self.param_dtype, name="norm_out")(
+            tokens[:, 0]
+        )
+        return PoseRegressionHead(
+            cfg.num_joints,
+            hidden_dims=cfg.regression_hidden_dims,
+            dropout=cfg.regression_dropout,
+            activation=cfg.activation,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="pose_head",
+        )(cls_out, deterministic=det)
