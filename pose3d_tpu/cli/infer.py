@@ -1,0 +1,233 @@
+"""Inference CLI — drop-in equivalent of the reference's ``infer.py``.
+
+Flow parity (reference infer.py:396-510): load the lifting model from a
+self-describing checkpoint, run stage 1 (2D keypoints + metric depth) per
+image, lift to 3D, save ``<stem>_pred_joints3d.npy`` and optionally a 2×2
+visualization panel (original | 2D keypoints | depth colormap | 3D pose).
+
+TPU-first: images are processed in jit-compiled BATCHES end-to-end rather
+than the reference's one-image-at-a-time triple dispatch (SURVEY.md §3.2
+"north star"). Stage-1 backends: ``--stage1 cached`` consumes preprocess
+artifacts (no external models needed); ``--stage1 jax`` runs the native
+JAX keypoint/depth models.
+
+Usage:
+  python -m pose3d_tpu.cli.infer --checkpoint_path ck_cnn_step_100 \
+      --input_folder imgs/ --model-type cnn --output_folder out/ --visualize
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import List
+
+import cv2
+import numpy as np
+
+from pose3d_tpu.core.config import CONNECTIONS_COCO, make_model_config
+from pose3d_tpu.models import init_model
+from pose3d_tpu.stage1 import get_stage1_provider
+from pose3d_tpu.train.checkpoint import load_checkpoint, load_checkpoint_meta
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    force=True,  # jax/absl may have installed handlers already
+)
+logger = logging.getLogger("Inference")
+
+VIZ_THUMBNAIL_SIZE = (500, 500)
+
+
+def load_pose_model(checkpoint_path, model_type=None):
+    """Rebuild architecture from checkpoint metadata and load weights
+    (reference infer.py:73-131). Returns (model, variables, config)."""
+    meta = load_checkpoint_meta(checkpoint_path)
+    model_type = meta.get("model_type", model_type)
+    model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
+    model, variables = init_model(model_cfg, batch_size=1)
+    tree, _ = load_checkpoint(checkpoint_path)
+    variables = {
+        "params": tree["params"],
+        "batch_stats": tree.get("batch_stats", variables.get("batch_stats", {})),
+    }
+    logger.info("3D Pose Model loaded successfully (%s).", model_type)
+    return model, variables, model_cfg
+
+
+def _resize_batch(images: List[np.ndarray], size_hw) -> np.ndarray:
+    h, w = size_hw
+    return np.stack(
+        [cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR) for im in images]
+    )
+
+
+def create_depth_viz(depth: np.ndarray) -> np.ndarray:
+    """Viridis-colored uint8 depth panel (reference infer.py:255-272)."""
+    import matplotlib.cm as cm
+
+    d = depth.astype(np.float32)
+    rng = d.max() - d.min()
+    d01 = (d - d.min()) / rng if rng > 0 else np.zeros_like(d)
+    rgba = cm.viridis(d01)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def create_2d_kpts_viz(image_rgb: np.ndarray, kpts: np.ndarray) -> np.ndarray:
+    """Keypoint + COCO-skeleton overlay (reference infer.py:275-316)."""
+    img = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR).copy()
+    h, w = img.shape[:2]
+    px = (kpts[:, 0] * w).astype(int)
+    py = (kpts[:, 1] * h).astype(int)
+    conf = kpts[:, 2]
+    for i in range(len(px)):
+        if conf[i] > 0:
+            cv2.circle(img, (px[i], py[i]), 5, (0, 0, 255), -1)
+    for s, e in CONNECTIONS_COCO:
+        if s < len(px) and e < len(px) and conf[s] > 0 and conf[e] > 0:
+            cv2.line(img, (px[s], py[s]), (px[e], py[e]), (0, 255, 0), 2)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _thumb(img: np.ndarray, size=VIZ_THUMBNAIL_SIZE) -> np.ndarray:
+    th, tw = size
+    h, w = img.shape[:2]
+    scale = min(th / h, tw / w)
+    nh, nw = int(h * scale), int(w * scale)
+    resized = cv2.resize(img, (nw, nh))
+    canvas = np.full((th, tw, 3), 255, np.uint8)
+    canvas[:nh, :nw] = resized
+    return canvas
+
+
+def run(args):
+    from pose3d_tpu.core.runtime import apply_tpu_workarounds
+
+    apply_tpu_workarounds()
+    import jax
+
+    out_dir = Path(args.output_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    model, variables, model_cfg = load_pose_model(
+        args.checkpoint_path, args.model_type
+    )
+    provider = get_stage1_provider(args.stage1, num_joints=args.num_joints)
+
+    in_dir = Path(args.input_folder)
+    image_files = sorted(
+        f for f in in_dir.iterdir()
+        if f.is_file() and f.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+    if not image_files:
+        logger.warning("No images found in %s", args.input_folder)
+        return 0
+
+    size_hw = tuple(model_cfg.image_size)
+    fwd = jax.jit(
+        lambda v, a, b, c: model.apply(v, a, b, c, train=False)
+    )
+
+    n_done = 0
+    B = args.batch_size
+    for i in range(0, len(image_files), B):
+        files = image_files[i : i + B]
+        raws, s1s, kept = [], [], []
+        for f in files:
+            bgr = cv2.imread(str(f), cv2.IMREAD_COLOR)
+            if bgr is None:
+                logger.error("Could not open image %s", f.name)
+                continue
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            s1 = provider.predict_one(f, rgb)
+            if s1 is None:
+                logger.warning("Skipping %s: no stage-1 outputs.", f.name)
+                continue
+            raws.append(rgb)
+            s1s.append(s1)
+            kept.append(f)
+        if not kept:
+            continue
+
+        images = (
+            _resize_batch(raws, size_hw).astype(np.float32) / 255.0
+        )  # [b,H,W,3]
+        depths = _resize_batch(
+            [s.depth[..., None] for s in s1s], size_hw
+        ).astype(np.float32)
+        if depths.ndim == 3:
+            depths = depths[..., None]
+        kpts = np.stack([s.keypoints[:, :2] for s in s1s]).astype(np.float32)
+
+        preds = np.asarray(fwd(variables, images, depths, kpts))  # [b,J,3]
+
+        for f, raw, s1, joints in zip(kept, raws, s1s, preds):
+            npy_path = out_dir / f"{f.stem}_pred_joints3d.npy"
+            np.save(npy_path, joints)
+            logger.info("Saved predicted 3D joints to %s", npy_path)
+            n_done += 1
+
+            if args.visualize:
+                try:
+                    import matplotlib.pyplot as plt
+
+                    from pose3d_tpu.viz import fig_to_image, visualize_3d_pose
+
+                    panel_orig = _thumb(raw)
+                    panel_kpts = _thumb(create_2d_kpts_viz(raw, s1.keypoints))
+                    panel_depth = _thumb(create_depth_viz(s1.depth))
+                    fig = visualize_3d_pose(
+                        joints.copy(), title="Predicted 3D Pose"
+                    )
+                    pose_img = np.asarray(fig_to_image(fig))
+                    plt.close(fig)
+                    panel_pose = _thumb(pose_img)
+
+                    top = np.concatenate([panel_orig, panel_kpts], axis=1)
+                    bottom = np.concatenate([panel_depth, panel_pose], axis=1)
+                    combined = np.concatenate([top, bottom], axis=0)
+                    viz_path = out_dir / f"{f.stem}_combined_viz.png"
+                    cv2.imwrite(
+                        str(viz_path),
+                        cv2.cvtColor(combined, cv2.COLOR_RGB2BGR),
+                    )
+                    logger.info("Saved combined visualization to %s", viz_path)
+                except Exception:
+                    logger.exception(
+                        "Failed to create visualization for %s", f.name
+                    )
+    logger.info("Inference processing complete.")
+    return n_done
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Run 3D Human Pose Estimation Inference (TPU)"
+    )
+    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--input_folder", type=str, required=True)
+    p.add_argument("--model-type", type=str,
+                   choices=["cnn", "transformer"], default=None)
+    p.add_argument("--output_folder", type=str, default="inference_output")
+    p.add_argument("--num_joints", type=int, default=17)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--stage1", type=str, default="cached",
+                   choices=["cached", "jax"],
+                   help="Stage-1 backend: cached preprocess artifacts or "
+                        "native JAX models")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="Images lifted per jitted batch")
+    p.add_argument("--yolo_model_path", type=str, default=None,
+                   help="(compat) ignored by the cached backend")
+    p.add_argument("--yolo_confidence_threshold", type=float, default=0.3)
+    return p
+
+
+def main(argv=None):
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

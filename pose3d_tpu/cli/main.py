@@ -1,0 +1,180 @@
+"""Training CLI — drop-in equivalent of the reference's ``main.py``.
+
+Same flags (reference main.py:54-86) plus TPU-era extras; same flow:
+seed → TensorBoard run dir → (resume from checkpoint: architecture rebuilt
+from stored model_args, main.py:112-144) → streaming chunked datasets →
+train_model with gradient accumulation / eval cadence / checkpoints.
+
+Usage:
+  python -m pose3d_tpu.cli.main --chunks-dir /data/chunks \
+      --train-chunks 0 1 2 --val-chunks 3 --model-type cnn
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from pose3d_tpu.core.config import GlobalConfig, make_model_config
+from pose3d_tpu.core.mesh import make_mesh
+from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
+from pose3d_tpu.models import init_model
+from pose3d_tpu.ops.losses import LossWeights
+from pose3d_tpu.train import create_train_state, train_model
+from pose3d_tpu.train.checkpoint import load_checkpoint_meta, restore_train_state
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    force=True,  # jax/absl may have installed handlers already
+)
+logger = logging.getLogger("Training")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train on streaming Human3.6M dataset (TPU)"
+    )
+    p.add_argument("--chunks-dir", type=str, required=True,
+                   help="Directory containing chunked dataset")
+    p.add_argument("--train-chunks", type=int, nargs="+",
+                   help="Chunk indices to use for training")
+    p.add_argument("--val-chunks", type=int, nargs="+",
+                   help="Chunk indices to use for validation")
+    p.add_argument("--cache-dir", type=str, default=None,
+                   help="Directory to cache extracted chunks")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Explicit checkpoint path to load")
+    p.add_argument("--start-step", type=int,
+                   help="Global step index to resume from")
+    p.add_argument("--model-type", type=str,
+                   choices=["cnn", "transformer"],
+                   help="Model type: 'cnn' or 'transformer'")
+    # TPU-era extras (defaults match the reference's config.py).
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="Stop after this many optimizer steps")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--grad-accum", type=int, default=None)
+    p.add_argument("--eval-interval", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--no-tensorboard", action="store_true",
+                   help="Disable TensorBoard logging (skips TF import)")
+    p.add_argument("--augment", action="store_true",
+                   help="Enable data augmentation on the train set")
+    return p
+
+
+def main(argv=None):
+    from pose3d_tpu.core.runtime import apply_tpu_workarounds
+
+    apply_tpu_workarounds()
+    args = build_parser().parse_args(argv)
+    cfg = GlobalConfig()
+
+    np.random.seed(cfg.random_seed)
+    random.seed(cfg.random_seed)
+
+    batch_size = args.batch_size or cfg.batch_size
+    accum = args.grad_accum or cfg.gradient_accumulation_steps
+    eval_interval = args.eval_interval or cfg.eval_interval
+    lr = args.learning_rate or cfg.learning_rate
+
+    cache_dir = Path(args.cache_dir) if args.cache_dir else None
+    if cache_dir:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.no_tensorboard:
+        from pose3d_tpu.train.tb import NullWriter
+
+        writer = NullWriter()
+    else:
+        from pose3d_tpu.train.tb import SummaryWriter
+
+        log_dir = Path(cfg.log_dir) / datetime.now().strftime("%Y%m%d-%H%M%S")
+        writer = SummaryWriter(log_dir)
+        logger.info("TensorBoard logs: %s", log_dir)
+
+    model_type = (args.model_type or cfg.model_type).lower()
+    start_step = 0
+
+    # Resume path: architecture from checkpoint metadata
+    # (reference main.py:112-144 contract).
+    model_args = {}
+    if args.checkpoint and Path(args.checkpoint).exists():
+        meta = load_checkpoint_meta(args.checkpoint)
+        model_type = meta.get("model_type", model_type)
+        model_args = meta.get("model_args", {})
+        start_step = meta.get("step", 0)
+        logger.info("Resuming %s from %s at step %d",
+                    model_type, args.checkpoint, start_step)
+
+    model_cfg = make_model_config(model_type, **model_args)
+    model, variables = init_model(model_cfg, batch_size=batch_size)
+    state = create_train_state(
+        model, variables, learning_rate=lr, weight_decay=cfg.weight_decay
+    )
+    if args.checkpoint and Path(args.checkpoint).exists():
+        state, _ = restore_train_state(state, args.checkpoint)
+    elif args.checkpoint:
+        logger.warning("Checkpoint not found: %s, training from scratch.",
+                       args.checkpoint)
+
+    if args.start_step is not None:
+        start_step = args.start_step
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    logger.info("Devices: %s", jax.devices())
+    logger.info("Mesh: %s", mesh)
+    logger.info("Model type: %s (%.1fM params)", model_type, n_params / 1e6)
+    logger.info("Effective batch size: %d", batch_size * accum)
+    logger.info("Resume from step: %d", start_step)
+
+    image_size = tuple(model_cfg.image_size)
+    train_ds = StreamingChunkedDataset(
+        "train", args.chunks_dir, chunk_indices=args.train_chunks,
+        image_size=image_size, cache_dir=cache_dir,
+        use_augmentation=args.augment or cfg.use_augmentation,
+        shuffle=True, shuffle_chunks=True,
+    )
+    train_ds.training = True
+    val_ds = StreamingChunkedDataset(
+        "test", args.chunks_dir, chunk_indices=args.val_chunks,
+        image_size=image_size, cache_dir=cache_dir,
+        shuffle=True, shuffle_chunks=True,
+    )
+    train_loader = BatchLoader(train_ds, batch_size, loop=True)
+    val_loader = BatchLoader(val_ds, batch_size)
+
+    weights = LossWeights(
+        mse=cfg.mse_loss_weight, l1=cfg.l1_loss_weight,
+        inter_joint=cfg.inter_joint_loss_weight,
+        abs_root=cfg.abs_root_loss_weight,
+    )
+
+    state, last_step = train_model(
+        state, model_type, train_loader, val_loader,
+        model=model, model_args=model_cfg.to_dict(), mesh=mesh,
+        writer=writer, loss_weights=weights,
+        gradient_accumulation_steps=accum,
+        start_step=start_step, num_steps=args.num_steps,
+        eval_interval_steps=eval_interval,
+        checkpoint_prefix=cfg.checkpoint_prefix,
+        preview_interval_steps=cfg.preview_interval,
+        rng=jax.random.PRNGKey(cfg.random_seed),
+    )
+    logger.info("Training complete at step %d", last_step)
+    writer.close()
+    return last_step
+
+
+if __name__ == "__main__":
+    main()

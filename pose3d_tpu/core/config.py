@@ -216,10 +216,12 @@ def _from_dict(cls, d: Dict[str, Any]):
     return cls(**kwargs)
 
 
-def make_model_config(model_type: str, **kwargs):
+def make_model_config(model_type: str = None, /, **kwargs):
     """Factory mirroring the reference's ``ModelConfig(model_type, **kwargs)``
-    dispatch (reference src/model_config.py:4-11)."""
-    model_type = model_type.lower()
+    dispatch (reference src/model_config.py:4-11). ``kwargs`` may itself
+    contain ``model_type`` (checkpoint model_args round-trip); the positional
+    argument wins only when they agree, otherwise the kwargs value is used."""
+    model_type = str(kwargs.pop("model_type", model_type)).lower()
     if model_type == "cnn":
         return CNNModelConfig.from_dict({**kwargs, "model_type": "cnn"})
     if model_type == "transformer":

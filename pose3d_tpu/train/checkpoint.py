@@ -1,0 +1,131 @@
+"""Self-describing checkpoints.
+
+Contract parity with the reference (src/train.py:300-309, main.py:112-160,
+infer.py:73-131): a checkpoint carries {step, model params/stats, optimizer
+state, model_args, model_type} and is sufficient to reconstruct the model
+architecture without external config.
+
+Format: an orbax PyTree checkpoint directory named
+``{prefix}_{model_type}_step_{N}`` (same naming scheme as the reference's
+.pth files) containing the state arrays, plus ``meta.json`` with
+{step, model_type, model_args}.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger("pose3d_tpu.train")
+
+
+def checkpoint_path(prefix: str, model_type: str, step: int) -> Path:
+    return Path(f"{prefix}_{model_type}_step_{step}")
+
+
+def save_checkpoint(path, state, model_type: str, model_args: Dict) -> Path:
+    """Save state + architecture metadata. ``state`` is a TrainState or any
+    pytree with params/batch_stats/opt_state/step."""
+    path = Path(path).absolute()
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path / "state", tree, force=True)
+    meta = {
+        "step": int(jax.device_get(state.step)),
+        "model_type": model_type,
+        "model_args": model_args,
+        "format": "pose3d_tpu/v1",
+    }
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    logger.info("Saved checkpoint to %s", path)
+    return path
+
+
+def load_checkpoint_meta(path) -> Dict:
+    with open(Path(path) / "meta.json") as f:
+        return json.load(f)
+
+
+def load_checkpoint(path, template_state=None) -> Tuple[Dict, Dict]:
+    """Load (tree, meta) with all arrays on the default device.
+
+    Arrays are restored host-side as numpy and pushed to device in ONE
+    batched ``jax.device_put``. Restoring straight to device instead leaves
+    orbax/tensorstore lazy arrays that materialize one-by-one on first use —
+    measured ~1 s/array × 225 arrays (~4 min) through a remote-TPU tunnel.
+
+    If ``template_state`` is given its tree structure is used for
+    validation; arrays still restore host-side first.
+    """
+    import numpy as np
+
+    path = Path(path).absolute()
+    meta = load_checkpoint_meta(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template_state is not None:
+            template = {
+                "step": template_state.step,
+                "params": template_state.params,
+                "batch_stats": template_state.batch_stats,
+                "opt_state": template_state.opt_state,
+            }
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+            )
+            tree = ckptr.restore(
+                path / "state", item=template, restore_args=restore_args
+            )
+        else:
+            metadata = ckptr.metadata(path / "state")
+            md_tree = getattr(
+                getattr(metadata, "item_metadata", metadata), "tree", metadata
+            )
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), md_tree
+            )
+            tree = ckptr.restore(path / "state", restore_args=restore_args)
+    from pose3d_tpu.core.transfer import bulk_device_put
+
+    tree = bulk_device_put(tree)  # one transfer per dtype, not per array
+    return tree, meta
+
+
+def restore_train_state(state, path):
+    """Return a copy of ``state`` with arrays restored from ``path``.
+    Optimizer-state/architecture mismatches fall back to params-only restore
+    (the reference's strict→non-strict fallback, main.py:134-141)."""
+    try:
+        tree, meta = load_checkpoint(path, template_state=state)
+        return (
+            state.replace(
+                step=tree["step"],
+                params=tree["params"],
+                batch_stats=tree["batch_stats"],
+                opt_state=tree["opt_state"],
+            ),
+            meta,
+        )
+    except Exception:
+        logger.warning(
+            "Full state restore failed for %s; retrying params-only", path
+        )
+        tree, meta = load_checkpoint(path)
+        return (
+            state.replace(
+                step=jax.numpy.asarray(tree["step"]),
+                params=tree["params"],
+                batch_stats=tree.get("batch_stats", state.batch_stats),
+            ),
+            meta,
+        )

@@ -1,0 +1,204 @@
+"""Training orchestration.
+
+Behavior parity with the reference trainer (src/train.py:13-320):
+  * optimizer step every ``gradient_accumulation_steps`` raw batches —
+    realized as one jitted superbatch step (see step.py);
+  * TensorBoard scalars Loss/train_step + Loss_Components/* per optimizer
+    step (train.py:124-139);
+  * validation preview image every ``preview_interval_steps`` (train.py:147-189);
+  * full validation (loss components, MPJPE, PA-MPJPE) + checkpoint every
+    ``eval_interval_steps`` (train.py:192-309);
+  * ``num_steps=None`` trains until the data runs out for ``max_epochs``
+    epochs (the reference trains forever; capped here for safety).
+
+Returns ``(state, global_step)`` — two values; the reference's
+``main.py:227`` unpacks three from two, crashing after training completes
+(SURVEY.md §2 known quirk), which this framework deliberately fixes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from pose3d_tpu.ops.losses import LossWeights
+from pose3d_tpu.train.checkpoint import save_checkpoint
+from pose3d_tpu.train.step import make_eval_step, make_train_step
+from pose3d_tpu.train.tb import NullWriter
+
+logger = logging.getLogger("pose3d_tpu.train")
+
+
+def _superbatches(loader: Iterable[Dict], accum: int):
+    """Group raw batches into [A, B, ...] superbatches (drop ragged tail)."""
+    it = iter(loader)
+    while True:
+        group = list(itertools.islice(it, accum))
+        if len(group) < accum:
+            return
+        yield {
+            k: np.stack([g[k] for g in group])
+            for k in ("image", "depth", "keypoints_2d", "joints_3d")
+        }
+
+
+def _device_scalars(metrics: Dict) -> Dict[str, float]:
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def evaluate(eval_step, state, val_loader) -> Dict[str, float]:
+    """Full validation pass: sample-weighted averages of loss components,
+    MPJPE and PA-MPJPE (reference src/train.py:203-277)."""
+    totals: Dict[str, float] = {}
+    count = 0
+    for batch in val_loader:
+        bs = batch["image"].shape[0]
+        metrics, _ = eval_step(
+            state,
+            {
+                k: batch[k]
+                for k in ("image", "depth", "keypoints_2d", "joints_3d")
+            },
+        )
+        metrics = _device_scalars(metrics)
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + v * bs
+        count += bs
+    if count == 0:
+        return {}
+    return {k: v / count for k, v in totals.items()}
+
+
+def train_model(
+    state,
+    model_type: str,
+    train_loader,
+    val_loader=None,
+    *,
+    model=None,
+    model_args: Optional[Dict] = None,
+    mesh=None,
+    writer=None,
+    loss_weights: LossWeights = LossWeights(),
+    gradient_accumulation_steps: int = 1,
+    start_step: int = 0,
+    num_steps: Optional[int] = None,
+    eval_interval_steps: int = 5000,
+    checkpoint_prefix: str = "checkpoint",
+    preview_interval_steps: int = 50,
+    max_epochs: int = 10_000,
+    rng: Optional[jax.Array] = None,
+    compat_pa_metric: bool = False,
+):
+    """Train ``state`` over ``train_loader``; returns (state, global_step)."""
+    writer = writer or NullWriter()
+    rng = rng if rng is not None else jax.random.PRNGKey(42)
+    model_args = model_args or {}
+
+    train_step = make_train_step(model, loss_weights, mesh=mesh)
+    eval_step = make_eval_step(
+        model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric
+    )
+
+    global_step = start_step
+    target = num_steps if num_steps is not None else float("inf")
+    val_preview_iter = iter(val_loader) if val_loader is not None else None
+
+    for _epoch in range(max_epochs):
+        if global_step >= target:
+            break
+        for superbatch in _superbatches(
+            train_loader, gradient_accumulation_steps
+        ):
+            if global_step >= target:
+                break
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = train_step(state, superbatch, step_rng)
+            global_step += 1
+
+            scalars = _device_scalars(metrics)
+            writer.add_scalar(
+                "Loss/train_step", scalars["total_loss"], global_step
+            )
+            for k, v in scalars.items():
+                writer.add_scalar(f"Loss_Components/{k}", v, global_step)
+
+            # Validation preview (reference train.py:147-189).
+            if (
+                val_loader is not None
+                and global_step % preview_interval_steps == 0
+            ):
+                try:
+                    preview = next(val_preview_iter)
+                except StopIteration:
+                    val_preview_iter = iter(val_loader)
+                    preview = next(val_preview_iter)
+                _, preds = eval_step(
+                    state,
+                    {
+                        k: preview[k]
+                        for k in ("image", "depth", "keypoints_2d", "joints_3d")
+                    },
+                )
+                preds = np.asarray(jax.device_get(preds))
+                try:
+                    import matplotlib.pyplot as plt
+
+                    from pose3d_tpu.viz import fig_to_image, visualize_comparison
+
+                    fig = visualize_comparison(
+                        preview["image"][0],
+                        preds[0],
+                        preview["joints_3d"][0],
+                        title=f"Val Preview Step {global_step}",
+                    )
+                    writer.add_image(
+                        "Val_Preview/comparison",
+                        np.asarray(fig_to_image(fig)),
+                        global_step,
+                    )
+                    plt.close(fig)
+                except Exception:
+                    logger.exception("Preview visualization failed")
+
+            # Full validation + checkpoint (reference train.py:192-309).
+            if global_step % eval_interval_steps == 0:
+                if val_loader is not None:
+                    logger.info(
+                        "Full validation at step %d ...", global_step
+                    )
+                    val = evaluate(eval_step, state, val_loader)
+                    if val:
+                        writer.add_scalar(
+                            "Loss/validation_epoch_avg",
+                            val["total_loss"], global_step,
+                        )
+                        writer.add_scalar(
+                            "Metrics/MPJPE_validation_epoch_avg",
+                            val["mpjpe"], global_step,
+                        )
+                        writer.add_scalar(
+                            "Metrics/PA_MPJPE_validation_epoch_avg",
+                            val["pa_mpjpe"], global_step,
+                        )
+                        for k, v in val.items():
+                            if k not in ("mpjpe", "pa_mpjpe"):
+                                writer.add_scalar(
+                                    f"Loss_Components_Val/{k}", v, global_step
+                                )
+                        logger.info(
+                            "Step %d: Val Loss: %.4f, MPJPE: %.2f mm, "
+                            "PA-MPJPE: %.2f mm",
+                            global_step, val["total_loss"],
+                            val["mpjpe"], val["pa_mpjpe"],
+                        )
+                save_checkpoint(
+                    f"{checkpoint_prefix}_{model_type}_step_{global_step}",
+                    state, model_type, model_args,
+                )
+    writer.flush()
+    return state, global_step

@@ -1,0 +1,149 @@
+"""Jitted train/eval steps with scan-based gradient accumulation, sharded
+over the device mesh.
+
+The reference accumulates gradients across ``gradient_accumulation_steps``
+raw batches with separate forward/backward dispatches and an optimizer step
+every A-th batch (src/train.py:83-121). Here one jitted call consumes a
+*superbatch* of A microbatches ([A, B, ...]) and runs the whole
+accumulate→update pipeline on-device via ``lax.scan`` — one XLA program per
+optimizer step, no per-microbatch host round-trips (which matters doubly
+through a remote-TPU tunnel).
+
+Parallelism: the microbatch axis B is sharded over the mesh ``data`` axis
+(in_shardings P(None, "data", ...)); XLA GSPMD inserts the gradient
+all-reduce over ICI. BatchNorm batch statistics are computed over the
+*global* microbatch for the same reason — the mean over a sharded axis
+lowers to a cross-replica collective automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pose3d_tpu.geometry.metrics import mpjpe, pa_mpjpe
+from pose3d_tpu.ops.losses import LossWeights, composite_pose_loss
+
+
+def _loss_fn(params, batch_stats, apply_fn, micro, rng, weights):
+    out, muts = apply_fn(
+        {"params": params, "batch_stats": batch_stats},
+        micro["image"], micro["depth"], micro["keypoints_2d"],
+        train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+    )
+    loss, comps = composite_pose_loss(out, micro["joints_3d"], weights)
+    return loss, (comps, muts["batch_stats"])
+
+
+def make_train_step(
+    model,
+    weights: LossWeights = LossWeights(),
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Signature of the returned fn:
+      (state, superbatch, rng) -> (state, metrics)
+    where superbatch is a dict of [A, B, ...] arrays (A = accumulation
+    steps; pass A=1 for no accumulation) and metrics holds the batch-mean
+    loss components (reference logging contract, src/train.py:124-139).
+    """
+
+    def step(state, batch, rng):
+        apply_fn = state.apply_fn
+        accum = batch["image"].shape[0]
+
+        def body(carry, micro):
+            params, bstats, grads, i = carry
+            rng_i = jax.random.fold_in(rng, i)
+            (loss, (comps, new_bstats)), g = jax.value_and_grad(
+                _loss_fn, has_aux=True
+            )(params, bstats, apply_fn, micro, rng_i, weights)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            return (params, new_bstats, grads, i + 1), comps
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (_, batch_stats, grads, _), comps_seq = jax.lax.scan(
+            body, (state.params, state.batch_stats, zero_grads, 0), batch
+        )
+
+        # Mean gradient over microbatches — matches loss/accum scaling
+        # (reference src/train.py:89).
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        updates, opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, comps_seq)
+        return new_state, metrics
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(repl, batch_sharding, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, weights: LossWeights = LossWeights(),
+                   mesh: Optional[Mesh] = None,
+                   compat_pa: bool = False):
+    """Jitted eval step: forward + loss components + MPJPE + PA-MPJPE for
+    one batch (reference validation loop body, src/train.py:203-261)."""
+
+    def step(state, batch):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], batch["depth"], batch["keypoints_2d"],
+            train=False,
+        )
+        loss, comps = composite_pose_loss(out, batch["joints_3d"], weights)
+        metrics = dict(comps)
+        metrics["mpjpe"] = mpjpe(out, batch["joints_3d"])
+        metrics["pa_mpjpe"] = pa_mpjpe(
+            out, batch["joints_3d"], compat_transposed_rotation=compat_pa
+        )
+        return metrics, out
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(repl, batch_sharding),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(step)
+
+
+def make_predict_fn(model, mesh: Optional[Mesh] = None):
+    """Jitted inference forward: (variables, image, depth, kpts) -> joints."""
+
+    def fwd(variables, image, depth, keypoints_2d):
+        return model.apply(variables, image, depth, keypoints_2d, train=False)
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            fwd,
+            in_shardings=(repl, batch_sharding, batch_sharding, batch_sharding),
+            out_shardings=batch_sharding,
+        )
+    return jax.jit(fwd)

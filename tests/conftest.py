@@ -1,10 +1,14 @@
 """Test configuration: run everything on CPU with 8 virtual devices so the
 pjit/mesh code paths are exercised without TPU hardware (the standard JAX
-answer to multi-device testing; see SURVEY.md §4)."""
+answer to multi-device testing; see SURVEY.md §4).
+
+NOTE: this environment forces JAX_PLATFORMS=axon (remote TPU) and the axon
+plugin ignores the env var, so the platform must be forced via jax.config
+*before any device is touched* — env setdefault alone silently leaves tests
+running on the real TPU through the tunnel (slow and non-hermetic)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: the 1-vCPU host pays ~20-60 s per big XLA
+# compile; caching makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
