@@ -15,7 +15,8 @@ def _mish(x):
 _ACTIVATIONS = {
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
-    "gelu": jax.nn.gelu,
+    # exact (erf) gelu: torch nn.GELU's default, unlike jax's tanh approx
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),
     "mish": _mish,
 }

@@ -24,13 +24,11 @@ def dot_product_attention(q, k, v, *, backend: str = "xla"):
     Returns [B, T, H, D]. Softmax is computed in fp32 regardless of the
     input dtype (bf16-safe).
     """
-    if backend == "pallas":
+    if backend == "pallas" and jax.default_backend() == "tpu":
         from pose3d_tpu.ops.pallas.flash_attention import flash_attention
 
-        try:
-            return flash_attention(q, k, v)
-        except Exception:
-            pass  # fall back to xla (e.g. CPU tests)
+        return flash_attention(q, k, v)
+    # backend == "pallas" off-TPU falls through to the XLA path.
 
     dtype = q.dtype
     d = q.shape[-1]
