@@ -117,6 +117,114 @@ def _resize(img: np.ndarray, size_hw, interpolation=cv2.INTER_LINEAR):
     return cv2.resize(img, (w, h), interpolation=interpolation)
 
 
+def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17
+                       ) -> Optional[Dict]:
+    """Metadata-side decode: keypoints, joints, depth min/max — everything
+    except the pixel data (see decode_sample steps 3-7)."""
+    chunk_dir = Path(chunk_dir)
+    try:
+        metadata = {}
+        meta_file = sample.get("metadata_file")
+        if meta_file:
+            meta_path = chunk_dir / meta_file
+            if not meta_path.is_file():
+                logger.error("Metadata file missing: %s", meta_path)
+                return None
+            with open(meta_path) as f:
+                metadata = json.load(f)
+
+        dmin = float(sample.get("depth_min", metadata.get("depth_min", 0.0)))
+        dmax = float(sample.get("depth_max", metadata.get("depth_max", 1.0)))
+
+        kp_src = sample.get("keypoints", metadata.get("keypoints"))
+        kpts = _first_person_keypoints(kp_src)
+        if kpts is None or kpts.shape[0] == 0:
+            logger.warning("No valid keypoints for %s", sample.get("image_file"))
+            return None
+        size_list = sample.get("image_size", metadata.get("image_size"))
+        if size_list is None:
+            return None
+        img_w, img_h = float(size_list[0]), float(size_list[1])
+        kpts = kpts.copy()
+        kpts[:, 0] /= img_w
+        kpts[:, 1] /= img_h
+        if kpts.shape[0] != num_joints:
+            out = np.zeros((num_joints, 2), np.float32)
+            n = min(num_joints, kpts.shape[0])
+            out[:n] = kpts[:n]
+            kpts = out
+
+        joints = np.asarray(sample["joints_3d"], dtype=np.float32)
+        joints = joints - joints[0:1]
+
+        return {
+            "keypoints_2d": kpts,
+            "joints_3d": joints,
+            "depth_min": dmin,
+            "depth_max": dmax,
+            "camera_params": sample.get("camera_params"),
+            "image_path": sample.get("image_file"),
+            "action": sample.get("action"),
+            "subaction": sample.get("subaction"),
+            "image_size": np.array([img_w, img_h], np.float32),
+            "frame_idx": sample.get("frame_idx"),
+            "num_joints": num_joints,
+        }
+    except Exception:
+        logger.exception("Failed meta-decode for %s", sample.get("image_file"))
+        return None
+
+
+def decode_chunk_samples(
+    samples: List[Dict],
+    chunk_dir,
+    image_size=(500, 500),
+    num_joints: int = 17,
+    num_threads: int = 8,
+) -> List[Dict]:
+    """Decode a whole chunk: metadata per sample (Python) + ONE native
+    batched decode each for all JPEG and depth-PNG blobs (GIL-free C++;
+    falls back to per-image cv2 when native isn't built). This is the
+    chunk-granularity replacement for the reference's 12-thread
+    per-sample Python pool (reference chunked_dataset.py:247-264)."""
+    from pose3d_tpu.data import native
+
+    chunk_dir = Path(chunk_dir)
+    metas, img_blobs, dep_blobs = [], [], []
+    for sample in samples:
+        meta = decode_sample_meta(sample, chunk_dir, num_joints)
+        if meta is None:
+            continue
+        try:
+            with open(chunk_dir / sample["image_file"], "rb") as f:
+                ib = f.read()
+            with open(chunk_dir / sample["depth_file"], "rb") as f:
+                db = f.read()
+        except OSError:
+            logger.error("Missing pixel file for %s", sample.get("image_file"))
+            continue
+        metas.append(meta)
+        img_blobs.append(ib)
+        dep_blobs.append(db)
+
+    if not metas:
+        return []
+    images = native.decode_jpeg_batch(img_blobs, image_size, num_threads)
+    depths01 = native.decode_png_gray_batch(dep_blobs, image_size, num_threads)
+
+    out = []
+    for meta, img, d01 in zip(metas, images, depths01):
+        if img.max() == 0:
+            logger.error("Undecodable image %s", meta["image_path"])
+            continue
+        depth = d01 * (meta["depth_max"] - meta["depth_min"]) + meta["depth_min"]
+        rec = dict(meta)
+        rec["image"] = img
+        rec["depth"] = depth.astype(np.float32)
+        out.append(rec)
+    return out
+
+
 def decode_sample(
     sample: Dict,
     chunk_dir,

@@ -23,13 +23,12 @@ import random
 import shutil
 import tempfile
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 from pose3d_tpu.data.chunks import (
     chunk_id_from_filename,
-    decode_sample,
+    decode_chunk_samples,
     extract_chunk,
     list_chunk_files,
     load_chunk_samples,
@@ -70,13 +69,10 @@ class ChunkPrefetcher:
         chunk_id = chunk_id_from_filename(chunk_file)
         chunk_dir = extract_chunk(chunk_file, self.cache_dir)
         samples = load_chunk_samples(chunk_dir)
-        decoded = []
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as ex:
-            for out in ex.map(
-                lambda s: decode_sample(s, chunk_dir, self.image_size), samples
-            ):
-                if out is not None:
-                    decoded.append(out)
+        decoded = decode_chunk_samples(
+            samples, chunk_dir, self.image_size,
+            num_threads=self.decode_workers,
+        )
         logger.info(
             "chunk %d: decoded %d/%d samples", chunk_id, len(decoded), len(samples)
         )
