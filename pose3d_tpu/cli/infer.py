@@ -120,6 +120,7 @@ def run(args):
     image_files = sorted(
         f for f in in_dir.iterdir()
         if f.is_file() and f.suffix.lower() in (".png", ".jpg", ".jpeg")
+        and not f.stem.endswith("_depth")  # preprocess artifacts, not inputs
     )
     if not image_files:
         logger.warning("No images found in %s", args.input_folder)
