@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable TensorBoard logging (skips TF import)")
     p.add_argument("--augment", action="store_true",
                    help="Enable data augmentation on the train set")
+    p.add_argument("--absolute-pose", action="store_true",
+                   help="Train on absolute camera-space joints (DEP-P) "
+                        "instead of root-relative (IND-P)")
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="Freeze the ViT backbone except the adapted "
+                        "patch-embed (transformer only)")
+    p.add_argument("--attention-backend", type=str, default="pallas",
+                   choices=["pallas", "xla"],
+                   help="Attention kernel for the transformer model")
     return p
 
 
@@ -115,9 +124,21 @@ def main(argv=None):
                     model_type, args.checkpoint, start_step)
 
     model_cfg = make_model_config(model_type, **model_args)
-    model, variables = init_model(model_cfg, batch_size=batch_size)
+    model, variables = init_model(
+        model_cfg, batch_size=batch_size,
+        attention_backend=args.attention_backend,
+    )
+    freeze_kw = {}
+    if args.freeze_backbone and model_type == "transformer":
+        # reference src/models/transformers.py:226-236: freeze the ViT but
+        # keep the channel-adapted patch embed trainable.
+        freeze_kw = dict(
+            frozen_prefixes=("vit_backbone",),
+            trainable_exceptions=("vit_backbone/patch_embed",),
+        )
     state = create_train_state(
-        model, variables, learning_rate=lr, weight_decay=cfg.weight_decay
+        model, variables, learning_rate=lr, weight_decay=cfg.weight_decay,
+        **freeze_kw,
     )
     if args.checkpoint and Path(args.checkpoint).exists():
         state, _ = restore_train_state(state, args.checkpoint)
@@ -139,17 +160,18 @@ def main(argv=None):
     logger.info("Resume from step: %d", start_step)
 
     image_size = tuple(model_cfg.image_size)
+    root_relative = not args.absolute_pose
     train_ds = StreamingChunkedDataset(
         "train", args.chunks_dir, chunk_indices=args.train_chunks,
         image_size=image_size, cache_dir=cache_dir,
         use_augmentation=args.augment or cfg.use_augmentation,
-        shuffle=True, shuffle_chunks=True,
+        shuffle=True, shuffle_chunks=True, root_relative=root_relative,
     )
     train_ds.training = True
     val_ds = StreamingChunkedDataset(
         "test", args.chunks_dir, chunk_indices=args.val_chunks,
         image_size=image_size, cache_dir=cache_dir,
-        shuffle=True, shuffle_chunks=True,
+        shuffle=True, shuffle_chunks=True, root_relative=root_relative,
     )
     train_loader = BatchLoader(train_ds, batch_size, loop=True)
     val_loader = BatchLoader(val_ds, batch_size)

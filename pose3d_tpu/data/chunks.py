@@ -117,10 +117,14 @@ def _resize(img: np.ndarray, size_hw, interpolation=cv2.INTER_LINEAR):
     return cv2.resize(img, (w, h), interpolation=interpolation)
 
 
-def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17
-                       ) -> Optional[Dict]:
+def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17,
+                       root_relative: bool = True) -> Optional[Dict]:
     """Metadata-side decode: keypoints, joints, depth min/max — everything
-    except the pixel data (see decode_sample steps 3-7)."""
+    except the pixel data (see decode_sample steps 3-7).
+
+    ``root_relative=False`` keeps absolute camera-space joints (DEP-P
+    training; the reference's pipeline always root-centers,
+    chunked_dataset.py:205-206 — the flag generalizes it)."""
     chunk_dir = Path(chunk_dir)
     try:
         metadata = {}
@@ -155,7 +159,8 @@ def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17
             kpts = out
 
         joints = np.asarray(sample["joints_3d"], dtype=np.float32)
-        joints = joints - joints[0:1]
+        if root_relative:
+            joints = joints - joints[0:1]
 
         return {
             "keypoints_2d": kpts,
@@ -181,6 +186,7 @@ def decode_chunk_samples(
     image_size=(500, 500),
     num_joints: int = 17,
     num_threads: int = 8,
+    root_relative: bool = True,
 ) -> List[Dict]:
     """Decode a whole chunk: metadata per sample (Python) + ONE native
     batched decode each for all JPEG and depth-PNG blobs (GIL-free C++;
@@ -192,7 +198,7 @@ def decode_chunk_samples(
     chunk_dir = Path(chunk_dir)
     metas, img_blobs, dep_blobs = [], [], []
     for sample in samples:
-        meta = decode_sample_meta(sample, chunk_dir, num_joints)
+        meta = decode_sample_meta(sample, chunk_dir, num_joints, root_relative)
         if meta is None:
             continue
         try:
@@ -230,6 +236,7 @@ def decode_sample(
     chunk_dir,
     image_size=(500, 500),
     num_joints: int = 17,
+    root_relative: bool = True,
 ) -> Optional[Dict]:
     """Decode one sample dict into fixed-shape numpy arrays (NHWC).
 
@@ -293,9 +300,11 @@ def decode_sample(
             out[:n] = kpts[:n]
             kpts = out
 
-        # 7. Root-relative 3D joints (reference chunked_dataset.py:205-206).
+        # 7. Root-relative 3D joints (reference chunked_dataset.py:205-206);
+        #    root_relative=False keeps absolute joints (DEP-P).
         joints = np.asarray(sample["joints_3d"], dtype=np.float32)
-        joints = joints - joints[0:1]
+        if root_relative:
+            joints = joints - joints[0:1]
 
         return {
             "image": img,

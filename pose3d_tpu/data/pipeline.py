@@ -51,6 +51,7 @@ class ChunkPrefetcher:
         decode_workers: int = 8,
         chunk_timeout_s: float = 300.0,
         augmentor: Optional[Callable[[Dict], Dict]] = None,
+        root_relative: bool = True,
     ):
         self.chunk_files = [Path(f) for f in chunk_files]
         self.cache_dir = Path(cache_dir)
@@ -59,6 +60,7 @@ class ChunkPrefetcher:
         self.decode_workers = decode_workers
         self.chunk_timeout_s = chunk_timeout_s
         self.augmentor = augmentor
+        self.root_relative = root_relative
 
         self.chunk_queue: "queue.Queue" = queue.Queue(maxsize=max_chunks_in_memory)
         self.stop_event = threading.Event()
@@ -72,6 +74,7 @@ class ChunkPrefetcher:
         decoded = decode_chunk_samples(
             samples, chunk_dir, self.image_size,
             num_threads=self.decode_workers,
+            root_relative=self.root_relative,
         )
         logger.info(
             "chunk %d: decoded %d/%d samples", chunk_id, len(decoded), len(samples)
@@ -144,6 +147,7 @@ class StreamingChunkedDataset:
         shard_id: int = 0,
         num_shards: int = 1,
         decode_workers: int = 8,
+        root_relative: bool = True,
     ):
         self.image_size = tuple(image_size)
         self.shuffle = shuffle
@@ -179,6 +183,7 @@ class StreamingChunkedDataset:
 
         self.max_chunks_in_memory = max_chunks_in_memory
         self.decode_workers = decode_workers
+        self.root_relative = root_relative
         self._epoch = 0
 
     def __len__(self):
@@ -202,6 +207,7 @@ class StreamingChunkedDataset:
             image_size=self.image_size,
             max_chunks_in_memory=self.max_chunks_in_memory,
             decode_workers=self.decode_workers,
+            root_relative=self.root_relative,
         )
         try:
             while True:

@@ -20,7 +20,7 @@ from pose3d_tpu.models.cnn import CNNPoseEstimation
 from pose3d_tpu.models.transformer import TransformerPoseEstimation
 
 
-def build_model(config, *, attention_backend: str = "xla",
+def build_model(config, *, attention_backend: str = "pallas",
                 dtype=jnp.bfloat16, param_dtype=jnp.float32):
     """Instantiate the Flax module for a model config (or model_type str)."""
     if isinstance(config, str):

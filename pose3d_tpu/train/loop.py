@@ -46,6 +46,38 @@ def _superbatches(loader: Iterable[Dict], accum: int):
         }
 
 
+def _device_prefetch(iterator, mesh, depth: int = 2):
+    """Double-buffered host→device feed: device_put (async) for up to
+    ``depth`` superbatches ahead of the consumer, with the superbatch
+    microbatch axis replicated and the batch axis sharded over the mesh
+    ``data`` axis. This overlaps the host→HBM transfer of batch N+1 with
+    the computation of batch N — the role pin_memory/non_blocking played
+    in the reference (main.py:188-189)."""
+    import collections
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(b):
+            return {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P(*([None, "data"] + [None] * (v.ndim - 2))))
+                )
+                for k, v in b.items()
+            }
+    else:
+        def put(b):
+            return jax.device_put(b)
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def _device_scalars(metrics: Dict) -> Dict[str, float]:
     return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
@@ -111,8 +143,8 @@ def train_model(
     for _epoch in range(max_epochs):
         if global_step >= target:
             break
-        for superbatch in _superbatches(
-            train_loader, gradient_accumulation_steps
+        for superbatch in _device_prefetch(
+            _superbatches(train_loader, gradient_accumulation_steps), mesh
         ):
             if global_step >= target:
                 break

@@ -48,3 +48,59 @@ def test_bf16_inputs():
         np.asarray(out, np.float32), np.asarray(expected, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_backward_matches_xla():
+    """Custom-VJP gradients vs autodiff through the einsum reference."""
+    import jax
+    import jax.numpy as jnp
+
+    B, T, H, D = 1, 100, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return (dot_product_attention(q, k, v, backend="xla") ** 2).sum()
+
+    def loss_pallas(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_cross_attention_matches_xla():
+    """Different q/kv lengths (the cross-modal fusion shapes: 1024 img
+    queries attending over 16 heatmap tokens and vice versa)."""
+    for tq, tk in [(1024, 16), (16, 1024), (100, 40)]:
+        q = rng.normal(size=(1, tq, 2, 32)).astype(np.float32)
+        k = rng.normal(size=(1, tk, 2, 32)).astype(np.float32)
+        v = rng.normal(size=(1, tk, 2, 32)).astype(np.float32)
+        expected = np.asarray(dot_product_attention(q, k, v, backend="xla"))
+        got = np.asarray(flash_attention(q, k, v, interpret=True))
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_cross_attention_grads():
+    import jax
+
+    q = rng.normal(size=(1, 24, 2, 32)).astype(np.float32)
+    k = rng.normal(size=(1, 72, 2, 32)).astype(np.float32)
+    v = rng.normal(size=(1, 72, 2, 32)).astype(np.float32)
+    gr = jax.grad(
+        lambda q, k, v: (dot_product_attention(q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gp = jax.grad(
+        lambda q, k, v: (flash_attention(q, k, v, interpret=True) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

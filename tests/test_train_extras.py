@@ -1,0 +1,122 @@
+"""Tests for backbone freezing, DEP-P (absolute pose) decode, and the
+double-buffered device feed."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.core.config import CNNModelConfig, TransformerModelConfig
+from pose3d_tpu.models import init_model
+from pose3d_tpu.train import create_train_state, make_train_step
+from pose3d_tpu.train.loop import _device_prefetch, _superbatches
+
+TINY_VIT = TransformerModelConfig(
+    image_size=(64, 64), heatmap_size=32, heatmap_patch_size=16,
+    transformer_embed_dim=64, transformer_heads=4,
+    vit_depth=2, vit_heads=4, final_encoder_depth=1,
+    num_cross_modal_layers=1, regression_hidden_dims=(32,),
+)
+
+
+def _vit_batch(rng, a, b):
+    return {
+        "image": rng.uniform(size=(a, b, 64, 64, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 8, size=(a, b, 64, 64, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(
+            0.1, 0.9, size=(a, b, 17, 2)
+        ).astype(np.float32),
+        "joints_3d": (rng.normal(size=(a, b, 17, 3)) * 100).astype(np.float32),
+    }
+
+
+def test_freeze_backbone_keeps_vit_fixed():
+    model, variables = init_model(TINY_VIT, batch_size=2)
+    state = create_train_state(
+        model, variables,
+        frozen_prefixes=("vit_backbone",),
+        trainable_exceptions=("vit_backbone/patch_embed",),
+    )
+    step = make_train_step(model, donate=False)
+    rng = np.random.default_rng(0)
+    new_state, _ = step(state, _vit_batch(rng, 1, 2), jax.random.PRNGKey(0))
+
+    def maxdiff(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return max(float(jnp.abs(x - y).max()) for x, y in zip(la, lb))
+
+    vb_old = state.params["vit_backbone"]
+    vb_new = new_state.params["vit_backbone"]
+    # frozen blocks unchanged
+    assert maxdiff(vb_old["block_0"], vb_new["block_0"]) == 0.0
+    assert maxdiff(vb_old["norm"], vb_new["norm"]) == 0.0
+    # adapted patch-embed still trains
+    assert maxdiff(vb_old["patch_embed"], vb_new["patch_embed"]) > 0.0
+    # non-backbone params still train
+    assert maxdiff(
+        state.params["pose_head"], new_state.params["pose_head"]
+    ) > 0.0
+
+
+def test_absolute_pose_decode(tmp_path):
+    from helpers_synthetic import make_synthetic_chunk
+    from pose3d_tpu.data.chunks import (
+        extract_chunk, load_chunk_samples, decode_sample_meta,
+    )
+
+    tar, samples = make_synthetic_chunk(tmp_path, 0, num_samples=2,
+                                        prefix="train")
+    cdir = extract_chunk(tar, tmp_path / "x")
+    loaded = load_chunk_samples(cdir)
+    rel = decode_sample_meta(loaded[0], cdir, root_relative=True)
+    absn = decode_sample_meta(loaded[0], cdir, root_relative=False)
+    np.testing.assert_allclose(rel["joints_3d"][0], 0, atol=1e-6)
+    raw = np.asarray(loaded[0]["joints_3d"], np.float32)
+    np.testing.assert_allclose(absn["joints_3d"], raw, rtol=1e-6)
+    assert np.abs(absn["joints_3d"][0]).max() > 100  # absolute root ~5 m
+
+
+def test_device_prefetch_preserves_order_and_values():
+    rng = np.random.default_rng(1)
+
+    def loader():
+        for i in range(5):
+            yield {
+                "image": np.full((2, 4, 4, 3), i, np.float32),
+                "depth": np.full((2, 4, 4, 1), i, np.float32),
+                "keypoints_2d": np.zeros((2, 17, 2), np.float32),
+                "joints_3d": np.zeros((2, 17, 3), np.float32),
+            }
+
+    supers = _superbatches(loader(), 2)
+    out = list(_device_prefetch(supers, mesh=None))
+    assert len(out) == 2
+    for j, sb in enumerate(out):
+        assert isinstance(sb["image"], jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(sb["image"][0]).max(), 2 * j
+        )
+
+
+def test_device_prefetch_sharded_on_mesh():
+    from pose3d_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh()
+
+    def loader():
+        for i in range(4):
+            yield {
+                "image": np.zeros((8, 4, 4, 3), np.float32),
+                "depth": np.zeros((8, 4, 4, 1), np.float32),
+                "keypoints_2d": np.zeros((8, 17, 2), np.float32),
+                "joints_3d": np.zeros((8, 17, 3), np.float32),
+            }
+
+    out = list(_device_prefetch(_superbatches(loader(), 2), mesh))
+    assert len(out) == 2
+    sb = out[0]
+    # microbatch axis replicated, batch axis sharded over 'data'
+    sharding = sb["image"].sharding
+    assert sharding.spec == jax.sharding.PartitionSpec(
+        None, "data", None, None, None
+    )
