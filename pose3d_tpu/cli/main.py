@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 from pose3d_tpu.core.config import GlobalConfig, make_model_config
-from pose3d_tpu.core.mesh import make_mesh
+from pose3d_tpu.core.mesh import make_data_mesh_for_batch
 from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
 from pose3d_tpu.models import init_model
 from pose3d_tpu.ops.losses import LossWeights
@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention-backend", type=str, default="pallas",
                    choices=["pallas", "xla"],
                    help="Attention kernel for the transformer model")
+    p.add_argument("--model-args", type=str, default=None,
+                   help="JSON dict of model-config overrides (same keys as "
+                        "checkpoint model_args)")
     return p
 
 
@@ -115,10 +118,15 @@ def main(argv=None):
     # Resume path: architecture from checkpoint metadata
     # (reference main.py:112-144 contract).
     model_args = {}
+    if args.model_args:
+        import json
+
+        model_args = json.loads(args.model_args)
     if args.checkpoint and Path(args.checkpoint).exists():
+        # checkpoint model_args take precedence (reference main.py:103,116).
         meta = load_checkpoint_meta(args.checkpoint)
         model_type = meta.get("model_type", model_type)
-        model_args = meta.get("model_args", {})
+        model_args = {**model_args, **meta.get("model_args", {})}
         start_step = meta.get("step", 0)
         logger.info("Resuming %s from %s at step %d",
                     model_type, args.checkpoint, start_step)
@@ -149,7 +157,7 @@ def main(argv=None):
     if args.start_step is not None:
         start_step = args.start_step
 
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    mesh = make_data_mesh_for_batch(batch_size)
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
     )

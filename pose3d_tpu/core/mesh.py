@@ -41,6 +41,29 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes))
 
 
+def make_data_mesh_for_batch(batch_size: int,
+                             devices: Optional[Sequence[jax.Device]] = None
+                             ) -> Mesh:
+    """1-D data mesh whose size divides ``batch_size`` (largest such device
+    count). With 8 devices and batch 2 this yields a 2-device mesh rather
+    than an uneven-sharding error; logs when devices go unused."""
+    import logging
+    import math
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    d = math.gcd(batch_size, n)
+    while n % d and d > 1:  # d divides batch; ensure it also divides n
+        d -= 1
+    if d < n:
+        logging.getLogger("pose3d_tpu.mesh").warning(
+            "batch %d not divisible by %d devices; using %d-device data mesh",
+            batch_size, n, d,
+        )
+    return make_mesh((d,), ("data",), devices=devices[:d])
+
+
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """Sharding that splits dimension ``batch_axis`` over the ``data`` mesh
     axis and replicates the rest."""

@@ -136,6 +136,9 @@ def train_model(
         model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric
     )
 
+    from pose3d_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer()
     global_step = start_step
     target = num_steps if num_steps is not None else float("inf")
     val_preview_iter = iter(val_loader) if val_loader is not None else None
@@ -149,15 +152,22 @@ def train_model(
             if global_step >= target:
                 break
             step_rng = jax.random.fold_in(rng, global_step)
+            timer.start()
             state, metrics = train_step(state, superbatch, step_rng)
+            scalars = _device_scalars(metrics)  # syncs the step
+            timer.stop()
             global_step += 1
 
-            scalars = _device_scalars(metrics)
             writer.add_scalar(
                 "Loss/train_step", scalars["total_loss"], global_step
             )
             for k, v in scalars.items():
                 writer.add_scalar(f"Loss_Components/{k}", v, global_step)
+            n_images = (
+                superbatch["image"].shape[0] * superbatch["image"].shape[1]
+            )
+            for k, v in timer.scalars(n_images).items():
+                writer.add_scalar(k, v, global_step)
 
             # Validation preview (reference train.py:147-189).
             if (
