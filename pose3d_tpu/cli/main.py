@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-args", type=str, default=None,
                    help="JSON dict of model-config overrides (same keys as "
                         "checkpoint model_args)")
+    # Multi-host SPMD (optional; single-process when omitted).
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="Coordinator address for jax.distributed.initialize")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -88,6 +93,13 @@ def main(argv=None):
     apply_tpu_workarounds()
     args = build_parser().parse_args(argv)
     cfg = GlobalConfig()
+
+    from pose3d_tpu.core.mesh import host_shard_info, initialize_distributed
+
+    initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    shard_id, num_shards = host_shard_info()
 
     np.random.seed(cfg.random_seed)
     random.seed(cfg.random_seed)
@@ -174,6 +186,7 @@ def main(argv=None):
         image_size=image_size, cache_dir=cache_dir,
         use_augmentation=args.augment or cfg.use_augmentation,
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
+        shard_id=shard_id, num_shards=num_shards,
     )
     train_ds.training = True
     val_ds = StreamingChunkedDataset(

@@ -17,6 +17,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (single-controller SPMD). No-op when the
+    job is single-process. The reference has no distributed backend at all
+    (SURVEY.md §2.2); this is the TPU-native replacement: XLA collectives
+    over ICI/DCN, host-sharded input via jax.process_index()."""
+    if num_processes is None and coordinator_address is None:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_shard_info() -> tuple:
+    """(shard_id, num_shards) for host-side data sharding."""
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     shape: Sequence[int] = (-1,),
     axes: Sequence[str] = ("data",),
