@@ -176,6 +176,20 @@ def main(argv=None):
     logger.info("Devices: %s", jax.devices())
     logger.info("Mesh: %s", mesh)
     logger.info("Model type: %s (%.1fM params)", model_type, n_params / 1e6)
+    # Model summary to TensorBoard — the role the reference's
+    # torch.jit.trace + add_graph played (main.py:215-224).
+    try:
+        import flax.linen as nn
+
+        from pose3d_tpu.models.factory import dummy_inputs
+
+        summary = nn.tabulate(
+            model, jax.random.PRNGKey(0),
+            compute_flops=False, compute_vjp_flops=False, depth=2,
+        )(*dummy_inputs(model_cfg, 1), train=False)
+        writer.add_text("Model/summary", f"```\n{summary}\n```")
+    except Exception:
+        logger.exception("Could not add model summary to TensorBoard")
     logger.info("Effective batch size: %d", batch_size * accum)
     logger.info("Resume from step: %d", start_step)
 

@@ -1,0 +1,4 @@
+from pose3d_tpu.parallel.tp import (  # noqa: F401
+    tp_param_spec,
+    shard_state_for_tp,
+)

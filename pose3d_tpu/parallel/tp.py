@@ -1,0 +1,103 @@
+"""Tensor parallelism over the mesh ``model`` axis.
+
+The reference is single-device; SURVEY.md §2.2 calls for an *optional*
+model axis for the ViT MLP/attention ("not needed at 86 M params but design
+mesh-ready"). This module delivers that readiness: given a 2-D
+``(data, model)`` mesh, it assigns Megatron-style PartitionSpecs to the
+transformer's large kernels —
+
+  * MLP up-projection   [D, hidden]      → P(None, "model")   (column)
+  * MLP down-projection [hidden, D]      → P("model", None)   (row)
+  * attention q/k/v     [D, H, head_dim] → P(None, "model", None)  (heads)
+  * attention out       [H, head_dim, D] → P("model", None, None)
+  * everything else replicated
+
+and places the whole TrainState accordingly (optimizer moments follow their
+parameters). With the state committed this way and the train step jitted
+with unconstrained state shardings, XLA GSPMD propagates the layouts and
+inserts the all-reduces after the row-parallel matmuls — no manual
+collectives.
+
+Note: the fused Pallas attention kernel is not partition-aware; use
+``attention_backend="xla"`` when the model axis is >1 (a shard_map wrapper
+for the kernel is future work).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(path_keys, leaf) -> P:
+    path = "/".join(path_keys)
+    is_kernel = path_keys[-1] == "kernel"
+    if "Mlp_" in path and is_kernel:
+        if "Dense_0" in path:
+            return P(None, "model")
+        if "Dense_1" in path:
+            return P("model", None)
+    if "Mlp_" in path and path_keys[-1] == "bias" and "Dense_0" in path:
+        return P("model")
+    if "MultiHeadAttention_" in path:
+        if any(f"/{n}/" in "/" + path + "/" for n in ("query", "key", "value")):
+            if is_kernel:
+                return P(None, "model", None)
+            if path_keys[-1] == "bias":
+                return P("model", None)
+        if "/out/" in "/" + path + "/" and is_kernel:
+            return P("model", None, None)
+    return P()
+
+
+def tp_param_spec(params: Dict) -> Dict:
+    """PartitionSpec pytree for a transformer param tree."""
+    def f(path, leaf):
+        keys = tuple(
+            str(getattr(p, "key", getattr(p, "idx", "?"))) for p in path
+        )
+        return _spec_for(keys, leaf)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def shard_state_for_tp(state, mesh: Mesh):
+    """Return ``state`` with params (and matching optimizer moments)
+    device_put with TP shardings over ``mesh``; batch_stats and scalars
+    replicated."""
+    specs = tp_param_spec(state.params)
+
+    def put(tree, spec_tree):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree,
+        )
+
+    params = put(state.params, specs)
+
+    def put_opt(node):
+        # optax states mirror the param tree where they hold per-param
+        # moments; map those, replicate everything else.
+        if isinstance(node, dict) or hasattr(node, "keys"):
+            try:
+                return put(node, specs)
+            except ValueError:
+                pass
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), node
+        )
+
+    opt_state = jax.tree_util.tree_map(
+        put_opt, state.opt_state,
+        is_leaf=lambda n: jax.tree_util.tree_structure(n)
+        == jax.tree_util.tree_structure(state.params),
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+        state.batch_stats,
+    )
+    return state.replace(
+        params=params, opt_state=opt_state, batch_stats=batch_stats
+    )

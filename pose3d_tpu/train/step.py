@@ -44,6 +44,7 @@ def make_train_step(
     weights: LossWeights = LossWeights(),
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_sharding: str = "replicated",
 ):
     """Build the jitted train step.
 
@@ -52,6 +53,12 @@ def make_train_step(
     where superbatch is a dict of [A, B, ...] arrays (A = accumulation
     steps; pass A=1 for no accumulation) and metrics holds the batch-mean
     loss components (reference logging contract, src/train.py:124-139).
+
+    ``state_sharding``: "replicated" pins the whole state replicated over
+    the mesh (pure data parallelism); "auto" leaves state shardings to the
+    committed placement of the input arrays — used for tensor parallelism,
+    where pose3d_tpu.parallel.shard_state_for_tp pre-places the params and
+    GSPMD propagates (and keeps) their layouts.
     """
 
     def step(state, batch, rng):
@@ -90,8 +97,18 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        batch_sharding = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(None, "data")),
+            {"image": 0, "depth": 0, "keypoints_2d": 0, "joints_3d": 0},
+        )
         repl = NamedSharding(mesh, P())
+        if state_sharding == "auto":
+            # state layouts flow from the committed input arrays (TP).
+            return jax.jit(
+                step,
+                in_shardings=(None, batch_sharding, repl),
+                donate_argnums=(0,) if donate else (),
+            )
         return jax.jit(
             step,
             in_shardings=(repl, batch_sharding, repl),

@@ -31,6 +31,10 @@ class SummaryWriter:
         with self._writer.as_default():
             self._tf.summary.image(tag, img[None], step=int(step))
 
+    def add_text(self, tag: str, text: str, step: int = 0):
+        with self._writer.as_default():
+            self._tf.summary.text(tag, text, step=int(step))
+
     def flush(self):
         self._writer.flush()
 
@@ -45,6 +49,9 @@ class NullWriter:
         pass
 
     def add_image(self, *a, **k):
+        pass
+
+    def add_text(self, *a, **k):
         pass
 
     def flush(self):
