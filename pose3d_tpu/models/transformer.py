@@ -99,7 +99,7 @@ class TransformerEncoderBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         y = _ln(self.dtype, self.param_dtype)(x)
         y = MultiHeadAttention(
             self.num_heads, self.dropout, self.attention_backend,
@@ -126,7 +126,7 @@ class CrossModalFusionBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_img, x_hm, *, deterministic: bool = True):
+    def __call__(self, x_img, x_hm, deterministic: bool = True):
         det = deterministic
         # img attends to heatmap tokens
         q = _ln(self.dtype, self.param_dtype)(x_img)
@@ -196,10 +196,15 @@ class ViTBackbone(nn.Module):
     attention_backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         B = x.shape[0]
+        Block = (
+            nn.remat(TransformerEncoderBlock, static_argnums=(2,))
+            if self.remat else TransformerEncoderBlock
+        )
         tokens = PatchEmbedding(
             self.patch_size, self.embed_dim, self.dtype, self.param_dtype,
             name="patch_embed",
@@ -222,11 +227,11 @@ class ViTBackbone(nn.Module):
         tokens = tokens + pos.astype(tokens.dtype)
         tokens = nn.Dropout(self.dropout, deterministic=deterministic)(tokens)
         for i in range(self.depth):
-            tokens = TransformerEncoderBlock(
+            tokens = Block(
                 self.num_heads, self.mlp_ratio, self.dropout, self.dropout,
                 "gelu", self.attention_backend, self.dtype, self.param_dtype,
                 name=f"block_{i}",
-            )(tokens, deterministic=deterministic)
+            )(tokens, deterministic)
         return _ln(self.dtype, self.param_dtype, name="norm")(tokens)
 
 
@@ -247,6 +252,7 @@ class TransformerPoseEstimation(nn.Module):
     attention_backend: str = "pallas"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize encoder blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, image, depth, keypoints_2d, *, train: bool = False):
@@ -254,6 +260,14 @@ class TransformerPoseEstimation(nn.Module):
         det = not train
         B = image.shape[0]
         D = cfg.transformer_embed_dim
+        EncoderBlock = (
+            nn.remat(TransformerEncoderBlock, static_argnums=(2,))
+            if self.remat else TransformerEncoderBlock
+        )
+        FusionBlock = (
+            nn.remat(CrossModalFusionBlock, static_argnums=(3,))
+            if self.remat else CrossModalFusionBlock
+        )
 
         # --- image/depth stream (reference transformers.py:326-346) ---
         x = jnp.concatenate(
@@ -263,7 +277,8 @@ class TransformerPoseEstimation(nn.Module):
             embed_dim=D, depth=cfg.vit_depth, num_heads=cfg.vit_heads,
             patch_size=cfg.vit_patch_size, mlp_ratio=4.0,
             dropout=0.0, attention_backend=self.attention_backend,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="vit_backbone",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat, name="vit_backbone",
         )(x, deterministic=det)
         img_tokens = vit_tokens[:, 1:]  # strip CLS prefix token
 
@@ -285,13 +300,13 @@ class TransformerPoseEstimation(nn.Module):
 
         # --- cross-modal fusion (reference transformers.py:256-268, 352-356) ---
         for i in range(cfg.num_cross_modal_layers):
-            img_tokens, hm_tokens = CrossModalFusionBlock(
+            img_tokens, hm_tokens = FusionBlock(
                 cfg.transformer_heads, cfg.transformer_mlp_ratio,
                 cfg.transformer_dropout_rate,
                 cfg.transformer_attention_dropout_rate,
                 cfg.activation, self.attention_backend,
                 self.dtype, self.param_dtype, name=f"fusion_{i}",
-            )(img_tokens, hm_tokens, deterministic=det)
+            )(img_tokens, hm_tokens, det)
 
         # --- final encoder over [CLS | img | hm] (transformers.py:271-304) ---
         n_total = 1 + img_tokens.shape[1] + n_hm
@@ -314,13 +329,13 @@ class TransformerPoseEstimation(nn.Module):
             cfg.transformer_dropout_rate, deterministic=det
         )(tokens)
         for i in range(cfg.final_encoder_depth):
-            tokens = TransformerEncoderBlock(
+            tokens = EncoderBlock(
                 cfg.transformer_heads, cfg.transformer_mlp_ratio,
                 cfg.transformer_dropout_rate,
                 cfg.transformer_attention_dropout_rate,
                 cfg.activation, self.attention_backend,
                 self.dtype, self.param_dtype, name=f"final_block_{i}",
-            )(tokens, deterministic=det)
+            )(tokens, det)
 
         cls_out = _ln(self.dtype, self.param_dtype, name="norm_out")(
             tokens[:, 0]
