@@ -51,3 +51,41 @@ def bulk_device_put(tree: Any, device: Optional[jax.Device] = None) -> Any:
 
     out_leaves = jax.jit(unpack)(flats_dev)
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def bulk_device_get(tree: Any) -> Any:
+    """device_get a pytree using one device→host transfer per distinct
+    dtype: leaves are concatenated on-device by a single jitted program,
+    fetched as one buffer, and split/reshaped on host. (Per-leaf
+    device_get costs ~1 s/array through a remote-TPU tunnel.)"""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    already_np = all(isinstance(l, np.ndarray) for l in leaves)
+    if already_np:
+        return tree
+
+    order: dict = {}
+    for i, l in enumerate(leaves):
+        order.setdefault(np.dtype(l.dtype).str, []).append(i)
+
+    @jax.jit
+    def pack(ls):
+        return {
+            key: jnp.concatenate([jnp.ravel(ls[i]) for i in idxs])
+            for key, idxs in order.items()
+        }
+
+    flats = {k: np.asarray(v) for k, v in pack(leaves).items()}
+
+    out: list = [None] * len(leaves)
+    offsets = {k: 0 for k in flats}
+    for key, idxs in order.items():
+        for i in idxs:
+            size = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            off = offsets[key]
+            out[i] = flats[key][off : off + size].reshape(leaves[i].shape)
+            offsets[key] = off + size
+    return jax.tree_util.tree_unflatten(treedef, out)
