@@ -12,7 +12,7 @@ import ctypes
 import logging
 import os
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

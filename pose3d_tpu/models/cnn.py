@@ -32,9 +32,18 @@ from pose3d_tpu.models.common import PoseRegressionHead
 
 
 def _norm(name: str, dtype, param_dtype):
-    """Normalization factory (reference src/utils.py:184-195)."""
+    """Normalization factory (reference src/utils.py:184-195).
+
+    "identity" (no normalization) is a perf-diagnostics option beyond the
+    reference's set."""
 
     def make(use_running_average: bool):
+        if name == "identity":
+            class _Id(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return x
+            return _Id()
         if name == "batch":
             return nn.BatchNorm(
                 use_running_average=use_running_average,

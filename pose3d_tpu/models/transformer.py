@@ -22,8 +22,6 @@ compute dtype bf16 with fp32 LayerNorm/softmax, all shapes static.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

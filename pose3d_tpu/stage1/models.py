@@ -25,7 +25,7 @@ container formats and CLIs are exercisable end-to-end either way.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ ground-truth pose triptych used for TensorBoard previews (train.py:147-189).
 from __future__ import annotations
 
 import io
-from typing import Optional, Sequence
+from typing import Sequence
 
 import matplotlib
 
