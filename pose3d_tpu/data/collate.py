@@ -63,10 +63,32 @@ def collate_fixed(
 
 
 def device_batch(batch: Dict) -> Dict:
-    """Strip host-only fields, keeping the four tensors the model consumes."""
-    return {
-        "image": batch["image"],
-        "depth": batch["depth"],
-        "keypoints_2d": batch["keypoints_2d"],
-        "joints_3d": batch["joints_3d"],
-    }
+    """Strip host-only fields, keeping the tensors the model consumes."""
+    keys = ("image", "depth", "keypoints_2d", "joints_3d", "depth_scale")
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def compact_batch(batch: Dict) -> Dict:
+    """Re-encode a float batch for transfer: image → uint8, depth → uint8 +
+    per-sample (min, max) scale. 4× less host→device traffic, and lossless
+    w.r.t. the source data (chunk images/depths are uint8 on disk; the
+    reference's own pipeline quantizes depth to uint8, preprocess.py:79-81).
+    The inverse runs on-device (see train.step.decompact_batch)."""
+    img = batch["image"]
+    depth = batch["depth"]
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if depth.dtype != np.uint8:
+        dmin = depth.min(axis=(1, 2, 3))
+        dmax = depth.max(axis=(1, 2, 3))
+        scale = np.where(dmax > dmin, dmax - dmin, 1.0)
+        d01 = (depth - dmin[:, None, None, None]) / scale[:, None, None, None]
+        depth = np.clip(d01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        depth_scale = np.stack([dmin, dmax], axis=1).astype(np.float32)
+    else:
+        depth_scale = np.asarray(batch["depth_scale"], np.float32)
+    out = dict(batch)
+    out["image"] = img
+    out["depth"] = depth
+    out["depth_scale"] = depth_scale
+    return out

@@ -33,16 +33,25 @@ from pose3d_tpu.train.tb import NullWriter
 logger = logging.getLogger("pose3d_tpu.train")
 
 
-def _superbatches(loader: Iterable[Dict], accum: int):
-    """Group raw batches into [A, B, ...] superbatches (drop ragged tail)."""
+def _superbatches(loader: Iterable[Dict], accum: int, compact: bool = True):
+    """Group raw batches into [A, B, ...] superbatches (drop ragged tail).
+
+    ``compact=True`` re-encodes pixels as uint8 + per-sample depth scale
+    (data.collate.compact_batch) so the host→device transfer carries
+    1 byte/pixel; the train/eval steps decode on-device."""
+    from pose3d_tpu.data.collate import compact_batch
+
     it = iter(loader)
+    keys = ("image", "depth", "keypoints_2d", "joints_3d", "depth_scale")
     while True:
         group = list(itertools.islice(it, accum))
         if len(group) < accum:
             return
+        if compact:
+            group = [compact_batch(g) for g in group]
         yield {
             k: np.stack([g[k] for g in group])
-            for k in ("image", "depth", "keypoints_2d", "joints_3d")
+            for k in keys if k in group[0]
         }
 
 

@@ -29,7 +29,27 @@ from pose3d_tpu.geometry.metrics import mpjpe, pa_mpjpe
 from pose3d_tpu.ops.losses import LossWeights, composite_pose_loss
 
 
+def decompact_batch(batch):
+    """On-device inverse of data.collate.compact_batch: uint8 image → [0,1]
+    float, uint8 depth + per-sample (min, max) → metric float. No-op for
+    float batches. Runs inside jit, so the host→device transfer carries
+    1 byte/pixel instead of 4."""
+    out = dict(batch)
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        out["image"] = img.astype(jnp.float32) / 255.0
+    depth = batch["depth"]
+    if depth.dtype == jnp.uint8 and "depth_scale" in batch:
+        s = batch["depth_scale"].astype(jnp.float32)  # [B, 2]
+        dmin = s[:, 0][:, None, None, None]
+        dmax = s[:, 1][:, None, None, None]
+        out["depth"] = depth.astype(jnp.float32) / 255.0 * (dmax - dmin) + dmin
+    out.pop("depth_scale", None)
+    return out
+
+
 def _loss_fn(params, batch_stats, apply_fn, micro, rng, weights):
+    micro = decompact_batch(micro)
     out, muts = apply_fn(
         {"params": params, "batch_stats": batch_stats},
         micro["image"], micro["depth"], micro["keypoints_2d"],
@@ -97,10 +117,8 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        batch_sharding = jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P(None, "data")),
-            {"image": 0, "depth": 0, "keypoints_2d": 0, "joints_3d": 0},
-        )
+        # prefix pytree: one spec applied to every leaf of the batch dict
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
         repl = NamedSharding(mesh, P())
         if state_sharding == "auto":
             # state layouts flow from the committed input arrays (TP).
@@ -125,6 +143,7 @@ def make_eval_step(model, weights: LossWeights = LossWeights(),
     one batch (reference validation loop body, src/train.py:203-261)."""
 
     def step(state, batch):
+        batch = decompact_batch(batch)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], batch["depth"], batch["keypoints_2d"],

@@ -54,10 +54,14 @@ def summarize_trace(log_dir: str, top_k: int = 20,
 
 
 class StepTimer:
-    """Exponential-moving-average step timer."""
+    """Exponential-moving-average step timer. The first ``warmup`` steps
+    (jit compiles, layout recompiles) are excluded from the EMA so
+    Perf/* scalars reflect steady state."""
 
-    def __init__(self, alpha: float = 0.1):
+    def __init__(self, alpha: float = 0.1, warmup: int = 3):
         self.alpha = alpha
+        self.warmup = warmup
+        self._seen = 0
         self.ema_s: Optional[float] = None
         self._t0: Optional[float] = None
 
@@ -66,6 +70,9 @@ class StepTimer:
 
     def stop(self) -> float:
         dt = time.perf_counter() - self._t0
+        self._seen += 1
+        if self._seen <= self.warmup:
+            return dt
         self.ema_s = (
             dt if self.ema_s is None
             else self.alpha * dt + (1 - self.alpha) * self.ema_s

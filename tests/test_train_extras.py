@@ -88,7 +88,7 @@ def test_device_prefetch_preserves_order_and_values():
                 "joints_3d": np.zeros((2, 17, 3), np.float32),
             }
 
-    supers = _superbatches(loader(), 2)
+    supers = _superbatches(loader(), 2, compact=False)
     out = list(_device_prefetch(supers, mesh=None))
     assert len(out) == 2
     for j, sb in enumerate(out):
@@ -96,6 +96,51 @@ def test_device_prefetch_preserves_order_and_values():
         np.testing.assert_allclose(
             np.asarray(sb["image"][0]).max(), 2 * j
         )
+
+
+def test_compact_transfer_roundtrip():
+    """uint8 compact encoding + on-device decode must reproduce the float
+    batch to quantization precision, and the train step must accept it."""
+    from pose3d_tpu.data.collate import compact_batch
+    from pose3d_tpu.train.step import decompact_batch
+    from pose3d_tpu.core.config import CNNModelConfig
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(size=(4, 16, 16, 3)).astype(np.float32),
+        "depth": rng.uniform(1.5, 7.5, size=(4, 16, 16, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(0.1, 0.9, size=(4, 17, 2)).astype(np.float32),
+        "joints_3d": rng.normal(size=(4, 17, 3)).astype(np.float32) * 100,
+    }
+    c = compact_batch(batch)
+    assert c["image"].dtype == np.uint8
+    assert c["depth"].dtype == np.uint8
+    assert c["depth_scale"].shape == (4, 2)
+    d = jax.jit(decompact_batch)(c)
+    np.testing.assert_allclose(
+        np.asarray(d["image"]), batch["image"], atol=1.0 / 255
+    )
+    # depth quantization error bounded by range/255
+    rngs = (batch["depth"].max(axis=(1, 2, 3))
+            - batch["depth"].min(axis=(1, 2, 3)))
+    err = np.abs(np.asarray(d["depth"]) - batch["depth"])
+    assert (err.max(axis=(1, 2, 3)) <= rngs / 255 + 1e-5).all()
+
+    # a train step consumes the compact superbatch
+    cfg = CNNModelConfig(
+        image_size=(16, 16), heatmap_size=16, heatmap_sigma=2.0,
+        stage_channels=(8, 8, 8), stage_depths=(1, 1, 1),
+        initial_channels=8, global_pool_size=1, global_feature_dim=8,
+        regression_dims=(8,),
+    )
+    model, variables = init_model(cfg, batch_size=4)
+    state = create_train_state(model, variables)
+    step = make_train_step(model, donate=False)
+    sb = {k: v[None] for k, v in c.items()
+          if k in ("image", "depth", "keypoints_2d", "joints_3d",
+                   "depth_scale")}
+    _, metrics = step(state, sb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(jax.device_get(metrics)["total_loss"]))
 
 
 def test_device_prefetch_sharded_on_mesh():
