@@ -23,6 +23,7 @@ import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pose3d_tpu.core.config import CNNModelConfig
@@ -31,11 +32,78 @@ from pose3d_tpu.ops.heatmap import gaussian_heatmaps
 from pose3d_tpu.models.common import PoseRegressionHead
 
 
+class DotStatsBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics are computed as ONE matrix product
+    on the MXU: ones[1, N·H·W] @ [x | x²][N·H·W, 2C] instead of two VPU
+    reductions. Motivation: in the full CNN XLA lays conv activations out
+    batch-minor, and its reduce kernels over that layout run at ~65 GB/s
+    (5× below a standalone reduce); routing the reduction through a matmul
+    forces an MXU-friendly relayout. Semantics match nn.BatchNorm
+    (momentum, eps, running stats, scale/bias).
+
+    STATUS: experimental. Numerically validated (tests/test_fast_bn.py);
+    at the full 500×500 CNN scale the [N·H·W, 2C] concat doubles
+    activation HBM and currently crashes the TPU compiler, so the default
+    config keeps flax BatchNorm (identity-norm control bounds the whole
+    BN cost at ~21% of step time — see CLAUDE.md perf notes)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          self.param_dtype)
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            n = x.size // C
+            x2d = x.reshape(n, C)
+            both = jnp.concatenate(
+                [x2d, (x2d * x2d).astype(x2d.dtype)], axis=1
+            )  # [n, 2C]
+            ones = jnp.ones((1, n), self.dtype)
+            sums = jax.lax.dot_general(
+                ones, both.astype(self.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]                                   # [2C] fp32
+            mean = sums[:C] / n
+            var = jnp.maximum(sums[C:] / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var
+                )
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
 def _norm(name: str, dtype, param_dtype):
     """Normalization factory (reference src/utils.py:184-195).
 
-    "identity" (no normalization) is a perf-diagnostics option beyond the
-    reference's set."""
+    "identity" (no normalization) and "batch_dot" (MXU-path statistics)
+    are perf options beyond the reference's set."""
 
     def make(use_running_average: bool):
         if name == "identity":
@@ -44,6 +112,11 @@ def _norm(name: str, dtype, param_dtype):
                 def __call__(self, x):
                     return x
             return _Id()
+        if name == "batch_dot":
+            return DotStatsBatchNorm(
+                use_running_average=use_running_average,
+                dtype=dtype, param_dtype=param_dtype,
+            )
         if name == "batch":
             return nn.BatchNorm(
                 use_running_average=use_running_average,
