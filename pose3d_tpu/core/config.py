@@ -88,6 +88,10 @@ class GlobalConfig:
 
     # Paths (reference src/config.py:36-47). Kept as strings so the config
     # stays hashable/serializable.
+    base_path: str = "/mnt/data/AI/Human3.6m"
+    images_path: str = "/mnt/data/AI/Human3.6m/images"
+    processed_path: str = "/mnt/data/AI/Human3.6m/processed"
+    annotations_path: str = "/mnt/data/AI/Human3.6m/rannotations"
     log_dir: str = "./logs"
     cache_dir: str = "./dataset_cache"
     checkpoint_prefix: str = "model_epoch_"

@@ -31,6 +31,11 @@ from pose3d_tpu.ops.activations import get_activation
 from pose3d_tpu.ops.heatmap import gaussian_heatmaps
 from pose3d_tpu.models.common import PoseRegressionHead
 
+# Kaiming-normal fan_out init, the reference's conv/linear initialization
+# (src/models/cnn.py:627-639: kaiming_normal_(mode="fan_out",
+# nonlinearity="relu") for every Conv2d and Linear).
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
 
 class DotStatsBatchNorm(nn.Module):
     """BatchNorm whose batch statistics are computed as ONE matrix product
@@ -184,6 +189,7 @@ class ConvBnAct(nn.Module):
             feature_group_count=self.groups,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            kernel_init=kaiming_out,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
@@ -211,11 +217,13 @@ class SEBlock(nn.Module):
         y = x.mean(axis=(1, 2))  # [B, C]
         y = nn.Dense(
             max(1, c // self.reduction), use_bias=False,
+            kernel_init=kaiming_out,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(y)
         y = get_activation(self.activation)(y)
         y = nn.Dense(
-            c, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+            c, use_bias=False, kernel_init=kaiming_out,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(y)
         y = nn.sigmoid(y)
         return x * y[:, None, None, :]

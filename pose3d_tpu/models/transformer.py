@@ -31,6 +31,10 @@ from pose3d_tpu.ops.activations import get_activation
 from pose3d_tpu.ops.attention import dot_product_attention
 from pose3d_tpu.ops.heatmap import gaussian_heatmaps
 
+# xavier-uniform: the reference initializes every Linear in the fusion /
+# final-encoder / head this way (src/models/transformers.py:317-321).
+xavier = nn.initializers.xavier_uniform()
+
 
 class MultiHeadAttention(nn.Module):
     """QKV projection + attention core + output projection."""
@@ -47,6 +51,7 @@ class MultiHeadAttention(nn.Module):
         head_dim = d_model // self.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
             (self.num_heads, head_dim), axis=-1, name=name,
+            kernel_init=xavier,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         q = dense("query")(q_in)
@@ -54,7 +59,7 @@ class MultiHeadAttention(nn.Module):
         v = dense("value")(kv_in)
         out = dot_product_attention(q, k, v, backend=self.attention_backend)
         out = nn.DenseGeneral(
-            d_model, axis=(-2, -1), name="out",
+            d_model, axis=(-2, -1), name="out", kernel_init=xavier,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
@@ -71,10 +76,12 @@ class Mlp(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         d = x.shape[-1]
         h = int(d * self.hidden_ratio)
-        x = nn.Dense(h, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.Dense(h, kernel_init=xavier, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
         x = get_activation(self.activation)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.Dense(d, kernel_init=xavier, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
@@ -343,6 +350,7 @@ class TransformerPoseEstimation(nn.Module):
             hidden_dims=cfg.regression_hidden_dims,
             dropout=cfg.regression_dropout,
             activation=cfg.activation,
+            init="xavier",
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="pose_head",
         )(cls_out, deterministic=det)
