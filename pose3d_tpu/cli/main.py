@@ -209,7 +209,7 @@ def main(argv=None):
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
     )
     train_loader = BatchLoader(train_ds, batch_size, loop=True)
-    val_loader = BatchLoader(val_ds, batch_size)
+    val_loader = BatchLoader(val_ds, batch_size, drop_last=False)
 
     weights = LossWeights(
         mse=cfg.mse_loss_weight, l1=cfg.l1_loss_weight,

@@ -33,16 +33,21 @@ def _pairwise_distances(joints):
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
 
 
-def inter_joint_distance_loss(pred, gt):
-    """Mean |pairwise-dist(pred) − pairwise-dist(gt)| over unique joint pairs
-    (reference src/loss.py:29-47)."""
+def inter_joint_distance_per_sample(pred, gt):
+    """Per-sample mean |pairwise-dist(pred) − pairwise-dist(gt)| over unique
+    joint pairs: [B]."""
     J = pred.shape[-2]
     pd = _pairwise_distances(pred)
     gd = _pairwise_distances(gt)
     err = jnp.abs(pd - gd)
     mask = jnp.triu(jnp.ones((J, J), dtype=err.dtype), k=1)
-    # mean over batch and the J(J-1)/2 unique pairs
-    return jnp.sum(err * mask) / (err.shape[0] * mask.sum())
+    return jnp.sum(err * mask, axis=(1, 2)) / mask.sum()
+
+
+def inter_joint_distance_loss(pred, gt):
+    """Mean |pairwise-dist(pred) − pairwise-dist(gt)| over unique joint pairs
+    (reference src/loss.py:29-47)."""
+    return inter_joint_distance_per_sample(pred, gt).mean()
 
 
 def abs_root_distance_loss(pred, gt, root_index: int = 0):
@@ -63,14 +68,26 @@ def composite_pose_loss(
       (total_loss, {"mse_loss", "l1_loss", "inter_joint_loss",
                     "abs_root_loss", "total_loss"}).
     """
+    total, components = composite_pose_loss_per_sample(pred, gt, weights)
+    return total.mean(), {k: v.mean() for k, v in components.items()}
+
+
+def composite_pose_loss_per_sample(
+    pred,
+    gt,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-sample variant: every component is a [B] vector (used for exact
+    masked validation over ragged final batches). Batch means of these
+    equal the scalar loss exactly — every term is a per-sample mean."""
     pred = pred.astype(jnp.float32)
     gt = gt.astype(jnp.float32)
 
     diff = pred - gt
-    mse_loss = jnp.mean(diff * diff)
-    l1_loss = jnp.mean(jnp.abs(diff))
-    ij_loss = inter_joint_distance_loss(pred, gt)
-    root_loss = abs_root_distance_loss(pred, gt)
+    mse_loss = jnp.mean(diff * diff, axis=(1, 2))
+    l1_loss = jnp.mean(jnp.abs(diff), axis=(1, 2))
+    ij_loss = inter_joint_distance_per_sample(pred, gt)
+    root_loss = jnp.abs(pred[:, 0, :] - gt[:, 0, :]).mean(axis=1)
 
     total = (
         weights.mse * mse_loss

@@ -91,23 +91,35 @@ def _device_scalars(metrics: Dict) -> Dict[str, float]:
     return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
 
-def evaluate(eval_step, state, val_loader) -> Dict[str, float]:
+def evaluate(eval_step, state, val_loader,
+             pad_to: Optional[int] = None) -> Dict[str, float]:
     """Full validation pass: sample-weighted averages of loss components,
-    MPJPE and PA-MPJPE (reference src/train.py:203-277)."""
+    MPJPE and PA-MPJPE (reference src/train.py:203-277).
+
+    ``eval_step`` must be per-sample (make_eval_step(per_sample=True));
+    ragged final batches are padded to ``pad_to`` (static shapes, no
+    recompile) and the padding is masked out of the averages — exact
+    metrics over the full set."""
     totals: Dict[str, float] = {}
     count = 0
     for batch in val_loader:
         bs = batch["image"].shape[0]
-        metrics, _ = eval_step(
-            state,
-            {
-                k: batch[k]
-                for k in ("image", "depth", "keypoints_2d", "joints_3d")
-            },
-        )
-        metrics = _device_scalars(metrics)
+        db = {
+            k: batch[k]
+            for k in ("image", "depth", "keypoints_2d", "joints_3d")
+        }
+        if pad_to is not None and bs < pad_to:
+            db = {
+                k: np.concatenate(
+                    [v, np.repeat(v[:1], pad_to - bs, axis=0)]
+                )
+                for k, v in db.items()
+            }
+        metrics, _ = eval_step(state, db)
+        metrics = jax.device_get(metrics)
         for k, v in metrics.items():
-            totals[k] = totals.get(k, 0.0) + v * bs
+            v = np.asarray(v)
+            totals[k] = totals.get(k, 0.0) + float(v[:bs].sum())
         count += bs
     if count == 0:
         return {}
@@ -142,7 +154,8 @@ def train_model(
 
     train_step = make_train_step(model, loss_weights, mesh=mesh)
     eval_step = make_eval_step(
-        model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric
+        model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric,
+        per_sample=True,
     )
 
     from pose3d_tpu.utils.profiling import StepTimer
@@ -222,7 +235,10 @@ def train_model(
                     logger.info(
                         "Full validation at step %d ...", global_step
                     )
-                    val = evaluate(eval_step, state, val_loader)
+                    val = evaluate(
+                        eval_step, state, val_loader,
+                        pad_to=getattr(val_loader, "batch_size", None),
+                    )
                     if val:
                         writer.add_scalar(
                             "Loss/validation_epoch_avg",

@@ -138,9 +138,17 @@ def make_train_step(
 
 def make_eval_step(model, weights: LossWeights = LossWeights(),
                    mesh: Optional[Mesh] = None,
-                   compat_pa: bool = False):
+                   compat_pa: bool = False,
+                   per_sample: bool = False):
     """Jitted eval step: forward + loss components + MPJPE + PA-MPJPE for
-    one batch (reference validation loop body, src/train.py:203-261)."""
+    one batch (reference validation loop body, src/train.py:203-261).
+
+    ``per_sample=True`` returns every metric as a [B] vector so the caller
+    can mask padded samples (exact validation over ragged final batches
+    without a dynamic-shape recompile)."""
+    from jax.numpy.linalg import norm as _norm
+    from pose3d_tpu.geometry.metrics import procrustes_align
+    from pose3d_tpu.ops.losses import composite_pose_loss_per_sample
 
     def step(state, batch):
         batch = decompact_batch(batch)
@@ -149,12 +157,25 @@ def make_eval_step(model, weights: LossWeights = LossWeights(),
             batch["image"], batch["depth"], batch["keypoints_2d"],
             train=False,
         )
-        loss, comps = composite_pose_loss(out, batch["joints_3d"], weights)
-        metrics = dict(comps)
-        metrics["mpjpe"] = mpjpe(out, batch["joints_3d"])
-        metrics["pa_mpjpe"] = pa_mpjpe(
-            out, batch["joints_3d"], compat_transposed_rotation=compat_pa
-        )
+        gt = batch["joints_3d"]
+        if per_sample:
+            _, comps = composite_pose_loss_per_sample(out, gt, weights)
+            metrics = dict(comps)
+            metrics["mpjpe"] = _norm(
+                out.astype(jnp.float32) - gt, axis=-1
+            ).mean(axis=-1)
+            aligned = procrustes_align(
+                out.astype(jnp.float32), gt.astype(jnp.float32),
+                compat_transposed_rotation=compat_pa,
+            )
+            metrics["pa_mpjpe"] = _norm(aligned - gt, axis=-1).mean(axis=-1)
+        else:
+            _, comps = composite_pose_loss(out, gt, weights)
+            metrics = dict(comps)
+            metrics["mpjpe"] = mpjpe(out, gt)
+            metrics["pa_mpjpe"] = pa_mpjpe(
+                out, gt, compat_transposed_rotation=compat_pa
+            )
         return metrics, out
 
     if mesh is not None:

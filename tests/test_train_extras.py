@@ -165,3 +165,46 @@ def test_device_prefetch_sharded_on_mesh():
     assert sharding.spec == jax.sharding.PartitionSpec(
         None, "data", None, None, None
     )
+
+
+def test_evaluate_exact_with_ragged_tail():
+    """Masked per-sample evaluation must equal the exact full-set metric
+    even when the last batch is ragged (7 samples, batch size 4)."""
+    from pose3d_tpu.train.loop import evaluate
+    from pose3d_tpu.train.step import make_eval_step
+    from pose3d_tpu.geometry import mpjpe as mpjpe_fn
+
+    cfg = CNNModelConfig(
+        image_size=(16, 16), heatmap_size=16, heatmap_sigma=2.0,
+        stage_channels=(8, 8, 8), stage_depths=(1, 1, 1),
+        initial_channels=8, global_pool_size=1, global_feature_dim=8,
+        regression_dims=(8,),
+    )
+    model, variables = init_model(cfg, batch_size=4)
+    state = create_train_state(model, variables)
+    ev = make_eval_step(model, per_sample=True)
+
+    rng = np.random.default_rng(3)
+    n = 7
+    samples = {
+        "image": rng.uniform(size=(n, 16, 16, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 8, size=(n, 16, 16, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(0.1, 0.9, size=(n, 17, 2)).astype(
+            np.float32),
+        "joints_3d": (rng.normal(size=(n, 17, 3)) * 100).astype(np.float32),
+    }
+
+    def loader():
+        for lo in range(0, n, 4):
+            yield {k: v[lo:lo + 4] for k, v in samples.items()}
+
+    got = evaluate(ev, state, loader(), pad_to=4)
+
+    # exact reference: run the model on all 7 at once
+    preds = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        samples["image"], samples["depth"], samples["keypoints_2d"],
+        train=False,
+    )
+    exact = float(mpjpe_fn(np.asarray(preds), samples["joints_3d"]))
+    np.testing.assert_allclose(got["mpjpe"], exact, rtol=1e-4)
