@@ -1,0 +1,240 @@
+"""Reference-checkpoint compatibility: port torch ``.pth`` weights from the
+reference project onto this framework's models.
+
+``port_reference_cnn`` maps a reference ``CNNPoseEstimation`` state_dict
+(src/models/cnn.py) onto our Flax CNN by replaying the exact stage-assembly
+rules both models share (reference cnn.py:519-589) and converting each
+block's tensors (conv OIHW→HWIO, Linear transpose, BatchNorm running
+stats). Together with ``stage1.port.port_vit_backbone`` this gives
+reference users a migration path for trained checkpoints
+(see cli/convert.py).
+
+Numerical parity is validated end-to-end in tests/test_checkpoint_convert.py
+(full-model forward against the reference's torch implementation).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from pose3d_tpu.core.config import CNNModelConfig
+
+
+def _t(w) -> np.ndarray:
+    return w.detach().cpu().numpy() if hasattr(w, "detach") else np.asarray(w)
+
+
+def _conv_k(sd, key):  # torch [O, I/g, kh, kw] → flax [kh, kw, I/g, O]
+    return np.transpose(_t(sd[key]), (2, 3, 1, 0))
+
+
+def _cba(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """reference ConvBnAct at ``prefix`` → (params, batch_stats)."""
+    p = {
+        "Conv_0": {"kernel": _conv_k(sd, prefix + "conv.weight")},
+        "BatchNorm_0": {
+            "scale": _t(sd[prefix + "norm.weight"]),
+            "bias": _t(sd[prefix + "norm.bias"]),
+        },
+    }
+    if prefix + "conv.bias" in sd:
+        p["Conv_0"]["bias"] = _t(sd[prefix + "conv.bias"])
+    s = {
+        "BatchNorm_0": {
+            "mean": _t(sd[prefix + "norm.running_mean"]),
+            "var": _t(sd[prefix + "norm.running_var"]),
+        }
+    }
+    return p, s
+
+
+def _dwsep(sd, prefix):
+    p0, s0 = _cba(sd, prefix + "depthwise.")
+    p1, s1 = _cba(sd, prefix + "pointwise.")
+    return ({"ConvBnAct_0": p0, "ConvBnAct_1": p1},
+            {"ConvBnAct_0": s0, "ConvBnAct_1": s1})
+
+
+def _se(sd, prefix):
+    return {
+        "Dense_0": {"kernel": _t(sd[prefix + "fc.0.weight"]).T},
+        "Dense_1": {"kernel": _t(sd[prefix + "fc.2.weight"]).T},
+    }
+
+
+def _eca(sd, prefix):
+    return {"Conv_0": {
+        "kernel": np.transpose(_t(sd[prefix + "conv.weight"]), (2, 1, 0))
+    }}
+
+
+def _coord(sd, prefix):
+    def c1d(key):  # [O, I, 1, 1] → [1, I, O]
+        return np.transpose(_t(sd[key])[:, :, :, 0], (2, 1, 0))
+
+    p = {
+        "Conv_0": {"kernel": c1d(prefix + "conv1.weight"),
+                   "bias": _t(sd[prefix + "conv1.bias"])},
+        "BatchNorm_0": {"scale": _t(sd[prefix + "bn1.weight"]),
+                        "bias": _t(sd[prefix + "bn1.bias"])},
+        "Conv_1": {"kernel": c1d(prefix + "conv_h.weight"),
+                   "bias": _t(sd[prefix + "conv_h.bias"])},
+        "Conv_2": {"kernel": c1d(prefix + "conv_w.weight"),
+                   "bias": _t(sd[prefix + "conv_w.bias"])},
+    }
+    s = {"BatchNorm_0": {"mean": _t(sd[prefix + "bn1.running_mean"]),
+                         "var": _t(sd[prefix + "bn1.running_var"])}}
+    return p, s
+
+
+def _attach_attention(p, s, sd, prefix, att_type):
+    if att_type == "se":
+        p["SEBlock_0"] = _se(sd, prefix)
+    elif att_type == "eca":
+        p["ECABlock_0"] = _eca(sd, prefix)
+    elif att_type == "coord":
+        cp, cs = _coord(sd, prefix)
+        p["CoordAttention_0"] = cp
+        s["CoordAttention_0"] = cs
+
+
+def _inverted_residual(sd, prefix, expand_ratio: int, att_type: str):
+    idx = 0
+    p: Dict = {}
+    s: Dict = {}
+    cba_i = 0
+    if expand_ratio != 1:
+        p[f"ConvBnAct_{cba_i}"], s[f"ConvBnAct_{cba_i}"] = _cba(
+            sd, f"{prefix}conv.{idx}."
+        )
+        idx += 1
+        cba_i += 1
+    p[f"ConvBnAct_{cba_i}"], s[f"ConvBnAct_{cba_i}"] = _cba(
+        sd, f"{prefix}conv.{idx}."
+    )
+    idx += 1
+    cba_i += 1
+    _attach_attention(p, s, sd, f"{prefix}conv.{idx}.", att_type)
+    idx += 1
+    p[f"ConvBnAct_{cba_i}"], s[f"ConvBnAct_{cba_i}"] = _cba(
+        sd, f"{prefix}conv.{idx}."
+    )
+    return p, s
+
+
+def _dual_path(sd, prefix, has_shortcut: bool, att_type):
+    p: Dict = {}
+    s: Dict = {}
+    p["ConvBnAct_0"], s["ConvBnAct_0"] = _cba(sd, prefix + "residual_path.0.")
+    p["DepthwiseSeparableConv_0"], s["DepthwiseSeparableConv_0"] = _dwsep(
+        sd, prefix + "residual_path.1."
+    )
+    p["ConvBnAct_1"], s["ConvBnAct_1"] = _cba(sd, prefix + "residual_path.2.")
+    p["ConvBnAct_2"], s["ConvBnAct_2"] = _cba(sd, prefix + "dense_path.0.")
+    p["DepthwiseSeparableConv_1"], s["DepthwiseSeparableConv_1"] = _dwsep(
+        sd, prefix + "dense_path.1."
+    )
+    nxt = 3
+    if has_shortcut:
+        p[f"ConvBnAct_{nxt}"], s[f"ConvBnAct_{nxt}"] = _cba(
+            sd, prefix + "shortcut."
+        )
+        nxt += 1
+    p[f"ConvBnAct_{nxt}"], s[f"ConvBnAct_{nxt}"] = _cba(sd, prefix + "fusion.")
+    if att_type:
+        _attach_attention(p, s, sd, prefix + "attention.", att_type)
+    return p, s
+
+
+def _wasp(sd, prefix):
+    p: Dict = {"branch_weights": _t(sd[prefix + "weights"])}
+    s: Dict = {}
+    p["ConvBnAct_0"], s["ConvBnAct_0"] = _cba(sd, prefix + "conv1x1.")
+    for i in range(4):
+        p[f"ConvBnAct_{i+1}"], s[f"ConvBnAct_{i+1}"] = _cba(
+            sd, f"{prefix}atrous_branches.{i}."
+        )
+    p["ConvBnAct_5"], s["ConvBnAct_5"] = _cba(sd, prefix + "global_branch.1.")
+    p["ConvBnAct_6"], s["ConvBnAct_6"] = _cba(sd, prefix + "fusion.")
+    return p, s
+
+
+def _pose_head(sd, prefix, n_hidden: int):
+    p: Dict = {}
+    for k in range(n_hidden):
+        p[f"Dense_{k}"] = {
+            "kernel": _t(sd[f"{prefix}decoder.{k}.0.weight"]).T,
+            "bias": _t(sd[f"{prefix}decoder.{k}.0.bias"]),
+        }
+    p[f"Dense_{n_hidden}"] = {
+        "kernel": _t(sd[f"{prefix}decoder.{n_hidden}.weight"]).T,
+        "bias": _t(sd[f"{prefix}decoder.{n_hidden}.bias"]),
+    }
+    return p
+
+
+def port_reference_cnn(sd: Dict, cfg: CNNModelConfig) -> Dict:
+    """Map a reference CNNPoseEstimation state_dict onto our CNN's
+    variables ({params, batch_stats})."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["ConvBnAct_0"], stats["ConvBnAct_0"] = _cba(sd, "conv1.0.")
+    params["ConvBnAct_1"], stats["ConvBnAct_1"] = _cba(sd, "conv1.1.")
+
+    # Stage assembly — mirrors reference cnn.py:519-589 and our
+    # CNNPoseEstimation.__call__ exactly; flax numbers each block class in
+    # call order.
+    irb = 0
+    dpb = 0
+    n_stages = len(cfg.stage_channels)
+    for i in range(n_stages):
+        depth = cfg.stage_depths[i]
+        expand = cfg.stage_expand_ratios[i]
+        lead_att = "coord" if i >= 2 else "se"
+        for j in range(depth):
+            prefix = f"stages.{i}.{j}."
+            if j == 0:
+                is_dual = i >= 2 and cfg.use_dual_path_blocks
+                att = lead_att
+                stride = cfg.stage_strides[i]
+                changes = True  # channel count changes on stage entry
+            else:
+                is_dual = (
+                    i >= 2 and cfg.use_dual_path_blocks and j % 2 == 0
+                )
+                att = lead_att if is_dual else (
+                    "eca" if j % 2 == 0 else "se"
+                )
+                stride = 1
+                changes = False
+            if is_dual:
+                p, s = _dual_path(
+                    sd, prefix, has_shortcut=(stride != 1 or changes),
+                    att_type=att,
+                )
+                params[f"DualPathBlock_{dpb}"] = p
+                stats[f"DualPathBlock_{dpb}"] = s
+                dpb += 1
+            else:
+                p, s = _inverted_residual(sd, prefix, expand, att)
+                params[f"InvertedResidual_{irb}"] = p
+                stats[f"InvertedResidual_{irb}"] = s
+                irb += 1
+
+    p, s = _wasp(sd, "wasp.")
+    params["WASPModule_0"] = p
+    stats["WASPModule_0"] = s
+
+    # global features: Sequential[pool, ConvBnAct, ECA, pool]
+    p, s = _cba(sd, "global_features.1.")
+    params["ConvBnAct_2"] = p
+    stats["ConvBnAct_2"] = s
+    params["ECABlock_0"] = _eca(sd, "global_features.2.")
+
+    params["PoseRegressionHead_0"] = _pose_head(
+        sd, "pose_head.", len(cfg.regression_dims)
+    )
+    return {"params": params, "batch_stats": stats}
