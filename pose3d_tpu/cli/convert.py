@@ -29,7 +29,10 @@ logger = logging.getLogger("Convert")
 def convert(pth_path: str, out_dir: str) -> str:
     import torch
 
-    from pose3d_tpu.compat import port_reference_cnn
+    from pose3d_tpu.compat import (
+        port_reference_cnn,
+        port_reference_transformer,
+    )
     from pose3d_tpu.core.config import make_model_config
     from pose3d_tpu.models import init_model
     from pose3d_tpu.train import create_train_state
@@ -48,21 +51,19 @@ def convert(pth_path: str, out_dir: str) -> str:
           for k, v in ckpt["model_state_dict"].items()}
 
     cfg = make_model_config(model_type, **model_args)
-    if model_type != "cnn":
-        raise NotImplementedError(
-            "Transformer conversion requires the timm backbone mapping; "
-            "port the ViT with stage1.port.port_vit_backbone and assemble "
-            "manually (see PARITY.md)."
-        )
-
-    variables = port_reference_cnn(sd, cfg)
+    if model_type == "cnn":
+        variables = port_reference_cnn(sd, cfg)
+    else:
+        variables = port_reference_transformer(sd, cfg)
     variables = jax.tree_util.tree_map(np.asarray, variables)
 
     # fresh optimizer state around the ported weights
     model, init_vars = init_model(cfg, batch_size=1)
     state = create_train_state(model, {
         "params": variables["params"],
-        "batch_stats": variables["batch_stats"],
+        "batch_stats": variables.get(
+            "batch_stats", init_vars.get("batch_stats", {})
+        ),
     })
     state = state.replace(step=jax.numpy.asarray(step, jax.numpy.int32))
     path = save_checkpoint(out_dir, state, model_type, cfg.to_dict())

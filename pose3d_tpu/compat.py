@@ -238,3 +238,125 @@ def port_reference_cnn(sd: Dict, cfg: CNNModelConfig) -> Dict:
         sd, "pose_head.", len(cfg.regression_dims)
     )
     return {"params": params, "batch_stats": stats}
+
+
+# -- transformer (reference src/models/transformers.py) ---------------------
+
+def _ln_p(sd, prefix):
+    return {"scale": _t(sd[prefix + "weight"]), "bias": _t(sd[prefix + "bias"])}
+
+
+def _torch_mha(sd, prefix, num_heads):
+    """torch nn.MultiheadAttention (packed in_proj) → our MultiHeadAttention
+    {query, key, value, out} DenseGeneral trees."""
+    w = _t(sd[prefix + "in_proj_weight"])   # [3D, D]
+    b = _t(sd[prefix + "in_proj_bias"])     # [3D]
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+    D = qw.shape[1]
+    hd = D // num_heads
+
+    def dg(w_, b_):
+        return {"kernel": w_.T.reshape(D, num_heads, hd),
+                "bias": b_.reshape(num_heads, hd)}
+
+    return {
+        "query": dg(qw, qb), "key": dg(kw, kb), "value": dg(vw, vb),
+        "out": {
+            "kernel": _t(sd[prefix + "out_proj.weight"]).T.reshape(
+                num_heads, hd, D
+            ),
+            "bias": _t(sd[prefix + "out_proj.bias"]),
+        },
+    }
+
+
+def _lin(sd, prefix):
+    return {"kernel": _t(sd[prefix + "weight"]).T,
+            "bias": _t(sd[prefix + "bias"])}
+
+
+def port_reference_encoder_block(sd, prefix, num_heads):
+    """reference TransformerEncoderBlock (transformers.py:49-82) → ours."""
+    return {
+        "LayerNorm_0": _ln_p(sd, prefix + "norm1."),
+        "MultiHeadAttention_0": _torch_mha(sd, prefix + "attn.", num_heads),
+        "LayerNorm_1": _ln_p(sd, prefix + "norm2."),
+        "Mlp_0": {
+            "Dense_0": _lin(sd, prefix + "mlp.0."),
+            "Dense_1": _lin(sd, prefix + "mlp.3."),
+        },
+    }
+
+
+def port_reference_fusion_block(sd, prefix, num_heads):
+    """reference CrossModalFusionBlock (transformers.py:85-137) → ours.
+    LayerNorm indices follow our call order: img_q, hm_kv, hm_q, img_kv,
+    img_mlp, hm_mlp."""
+    return {
+        "LayerNorm_0": _ln_p(sd, prefix + "norm_img_q."),
+        "LayerNorm_1": _ln_p(sd, prefix + "norm_hm_kv."),
+        "img_to_hm": _torch_mha(sd, prefix + "cross_attn_img_to_hm.",
+                                num_heads),
+        "LayerNorm_2": _ln_p(sd, prefix + "norm_hm_q."),
+        "LayerNorm_3": _ln_p(sd, prefix + "norm_img_kv."),
+        "hm_to_img": _torch_mha(sd, prefix + "cross_attn_hm_to_img.",
+                                num_heads),
+        "LayerNorm_4": _ln_p(sd, prefix + "norm_img_mlp."),
+        "mlp_img": {
+            "Dense_0": _lin(sd, prefix + "mlp_img.0."),
+            "Dense_1": _lin(sd, prefix + "mlp_img.3."),
+        },
+        "LayerNorm_5": _ln_p(sd, prefix + "norm_hm_mlp."),
+        "mlp_hm": {
+            "Dense_0": _lin(sd, prefix + "mlp_hm.0."),
+            "Dense_1": _lin(sd, prefix + "mlp_hm.3."),
+        },
+    }
+
+
+def port_reference_transformer(sd: Dict, cfg) -> Dict:
+    """Map a reference TransformerPoseEstimation state_dict onto our
+    TransformerPoseEstimation variables. The timm backbone weights inside
+    ``vit_backbone.*`` are ported with stage1.port.port_vit_backbone
+    (the reference already inflated patch_embed to 4 channels in-place,
+    transformers.py:184-224, so no further inflation happens here)."""
+    from pose3d_tpu.stage1.port import port_vit_backbone
+
+    sd = {k: _t(v) for k, v in sd.items()}
+    H, W = cfg.image_size
+    n_patches = (H // cfg.vit_patch_size) * (W // cfg.vit_patch_size)
+
+    params: Dict = {}
+    params["vit_backbone"] = port_vit_backbone(
+        sd, num_heads=cfg.vit_heads, depth=cfg.vit_depth,
+        in_channels=cfg.image_in_channels, num_patches=n_patches,
+        prefix="vit_backbone.",
+    )
+    params["heatmap_patch_embed"] = {"Conv_0": {
+        "kernel": np.transpose(sd["heatmap_patch_embed.proj.weight"],
+                               (2, 3, 1, 0)),
+        "bias": sd["heatmap_patch_embed.proj.bias"],
+    }}
+    params["pos_embed_hm"] = sd["pos_embed_hm"]
+    for i in range(cfg.num_cross_modal_layers):
+        params[f"fusion_{i}"] = port_reference_fusion_block(
+            sd, f"cross_modal_fusion_layers.{i}.", cfg.transformer_heads
+        )
+    params["final_cls_token"] = sd["final_cls_token"]
+    params["final_pos_embed"] = sd["final_pos_embed"]
+    for i in range(cfg.final_encoder_depth):
+        params[f"final_block_{i}"] = port_reference_encoder_block(
+            sd, f"final_encoder.{i}.", cfg.transformer_heads
+        )
+    params["norm_out"] = _ln_p(sd, "norm_out.")
+    # flat head (transformers.py:20-25): Linear at decoder indices 0,3,6,...
+    head: Dict = {}
+    n_hidden = len(cfg.regression_hidden_dims)
+    for k in range(n_hidden):
+        head[f"Dense_{k}"] = _lin(sd, f"pose_head.decoder.{3 * k}.")
+    head[f"Dense_{n_hidden}"] = _lin(
+        sd, f"pose_head.decoder.{3 * n_hidden}."
+    )
+    params["pose_head"] = head
+    return {"params": params}
