@@ -47,10 +47,12 @@ class DotStatsBatchNorm(nn.Module):
     (momentum, eps, running stats, scale/bias).
 
     STATUS: experimental. Numerically validated (tests/test_fast_bn.py);
-    at the full 500×500 CNN scale the [N·H·W, 2C] concat doubles
-    activation HBM and currently crashes the TPU compiler, so the default
-    config keeps flax BatchNorm (identity-norm control bounds the whole
-    BN cost at ~21% of step time — see CLAUDE.md perf notes)."""
+    at the full 500×500 CNN scale the rank-1 dot with a multi-million
+    contraction dimension crashes the remote TPU compiler (HTTP 500 from
+    tpu_compile_helper, observed for both the concat and the two-dot
+    formulations), so the default config keeps flax BatchNorm
+    (identity-norm control bounds the whole BN cost at ~21% of step time —
+    see CLAUDE.md perf notes)."""
 
     use_running_average: bool
     momentum: float = 0.9
@@ -77,18 +79,22 @@ class DotStatsBatchNorm(nn.Module):
             var = ra_var.value
         else:
             n = x.size // C
-            x2d = x.reshape(n, C)
-            both = jnp.concatenate(
-                [x2d, (x2d * x2d).astype(x2d.dtype)], axis=1
-            )  # [n, 2C]
+            x2d = x.reshape(n, C).astype(self.dtype)
+            # E[x] as a rank-1 MXU contraction; E[x²] as a self-inner
+            # product per channel (both single passes over x, no concat).
             ones = jnp.ones((1, n), self.dtype)
-            sums = jax.lax.dot_general(
-                ones, both.astype(self.dtype),
+            s1 = jax.lax.dot_general(
+                ones, x2d,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[0]                                   # [2C] fp32
-            mean = sums[:C] / n
-            var = jnp.maximum(sums[C:] / n - mean * mean, 0.0)
+            )[0]                                   # [C] fp32
+            s2 = jax.lax.dot_general(
+                ones, x2d * x2d,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]                                   # [C] fp32
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value
