@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-args", type=str, default=None,
                    help="JSON dict of model-config overrides (same keys as "
                         "checkpoint model_args)")
+    p.add_argument("--compat-pa-metric", action="store_true",
+                   help="Report PA-MPJPE with the reference's transposed-"
+                        "rotation convention instead of true Procrustes")
     # Multi-host SPMD (optional; single-process when omitted).
     p.add_argument("--coordinator", type=str, default=None,
                    help="Coordinator address for jax.distributed.initialize")
@@ -227,6 +230,7 @@ def main(argv=None):
         checkpoint_prefix=cfg.checkpoint_prefix,
         preview_interval_steps=cfg.preview_interval,
         rng=jax.random.PRNGKey(cfg.random_seed),
+        compat_pa_metric=args.compat_pa_metric,
     )
     logger.info("Training complete at step %d", last_step)
     writer.close()

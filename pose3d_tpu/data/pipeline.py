@@ -52,6 +52,8 @@ class ChunkPrefetcher:
         chunk_timeout_s: float = 300.0,
         augmentor: Optional[Callable[[Dict], Dict]] = None,
         root_relative: bool = True,
+        decode_group: int = 64,
+        shuffle_seed: Optional[int] = None,
     ):
         self.chunk_files = [Path(f) for f in chunk_files]
         self.cache_dir = Path(cache_dir)
@@ -61,48 +63,64 @@ class ChunkPrefetcher:
         self.chunk_timeout_s = chunk_timeout_s
         self.augmentor = augmentor
         self.root_relative = root_relative
+        # Sub-chunk pipelining: decode the (pre-shuffled) chunk in groups of
+        # ``decode_group`` samples and enqueue each group as it completes,
+        # so the consumer starts after ~group-decode latency instead of
+        # whole-chunk latency (the reference preprocesses the entire chunk
+        # first, chunked_dataset.py:347-358). Pre-shuffling the sample list
+        # preserves the reference's within-chunk shuffle semantics.
+        self.decode_group = decode_group
+        self.shuffle_seed = shuffle_seed
 
-        self.chunk_queue: "queue.Queue" = queue.Queue(maxsize=max_chunks_in_memory)
+        # queue holds decoded GROUPS; scale capacity accordingly
+        self.chunk_queue: "queue.Queue" = queue.Queue(
+            maxsize=max(2, max_chunks_in_memory * 16)
+        )
         self.stop_event = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def _decode_chunk(self, chunk_file: Path):
-        chunk_id = chunk_id_from_filename(chunk_file)
-        chunk_dir = extract_chunk(chunk_file, self.cache_dir)
-        samples = load_chunk_samples(chunk_dir)
-        decoded = decode_chunk_samples(
-            samples, chunk_dir, self.image_size,
-            num_threads=self.decode_workers,
-            root_relative=self.root_relative,
-        )
-        logger.info(
-            "chunk %d: decoded %d/%d samples", chunk_id, len(decoded), len(samples)
-        )
-        return chunk_id, decoded
+    def _put(self, item) -> bool:
+        while not self.stop_event.is_set():
+            try:
+                self.chunk_queue.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
+        rng = random.Random(self.shuffle_seed)
         for chunk_file in self.chunk_files:
             if self.stop_event.is_set():
                 return
             try:
-                item = self._decode_chunk(chunk_file)
+                chunk_id = chunk_id_from_filename(chunk_file)
+                chunk_dir = extract_chunk(chunk_file, self.cache_dir)
+                samples = load_chunk_samples(chunk_dir)
+                if self.shuffle_seed is not None:
+                    rng.shuffle(samples)
+                n_dec = 0
+                g = self.decode_group
+                for lo in range(0, len(samples), g):
+                    if self.stop_event.is_set():
+                        return
+                    decoded = decode_chunk_samples(
+                        samples[lo : lo + g], chunk_dir, self.image_size,
+                        num_threads=self.decode_workers,
+                        root_relative=self.root_relative,
+                    )
+                    n_dec += len(decoded)
+                    if decoded and not self._put((chunk_id, decoded)):
+                        return
+                logger.info(
+                    "chunk %d: decoded %d/%d samples",
+                    chunk_id, n_dec, len(samples),
+                )
             except Exception:
                 logger.exception("Error prefetching chunk %s", chunk_file)
                 continue
-            while not self.stop_event.is_set():
-                try:
-                    self.chunk_queue.put(item, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
-        # sentinel: no more chunks
-        while not self.stop_event.is_set():
-            try:
-                self.chunk_queue.put(None, timeout=1.0)
-                return
-            except queue.Full:
-                continue
+        self._put(None)  # sentinel: no more chunks
 
     def get_next_chunk(self):
         """Next (chunk_id, samples) or None at end-of-stream / timeout
@@ -208,6 +226,9 @@ class StreamingChunkedDataset:
             max_chunks_in_memory=self.max_chunks_in_memory,
             decode_workers=self.decode_workers,
             root_relative=self.root_relative,
+            # within-chunk shuffle happens by pre-shuffling the sample list
+            # before grouped decode (sub-chunk pipelining)
+            shuffle_seed=rng.randrange(2**31) if self.shuffle else None,
         )
         try:
             while True:
@@ -215,11 +236,7 @@ class StreamingChunkedDataset:
                 if item is None:
                     return
                 _, samples = item
-                idx = list(range(len(samples)))
-                if self.shuffle:
-                    rng.shuffle(idx)
-                for i in idx:
-                    s = samples[i]
+                for s in samples:
                     if self.augmentor is not None and self.training:
                         s = self.augmentor(s)
                     yield s
