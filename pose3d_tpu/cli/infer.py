@@ -114,7 +114,13 @@ def run(args):
     model, variables, model_cfg = load_pose_model(
         args.checkpoint_path, args.model_type
     )
-    provider = get_stage1_provider(args.stage1, num_joints=args.num_joints)
+    extra = (
+        {"confidence_threshold": args.yolo_confidence_threshold}
+        if args.stage1 == "jax" else {}
+    )
+    provider = get_stage1_provider(
+        args.stage1, num_joints=args.num_joints, **extra
+    )
 
     in_dir = Path(args.input_folder)
     image_files = sorted(
@@ -239,7 +245,9 @@ def build_parser():
                    help="Images lifted per jitted batch")
     p.add_argument("--yolo_model_path", type=str, default=None,
                    help="(compat) ignored by the cached backend")
-    p.add_argument("--yolo_confidence_threshold", type=float, default=0.3)
+    p.add_argument("--yolo_confidence_threshold", type=float, default=0.3,
+                   help="Keypoints below this confidence are zeroed "
+                        "(actually applied here, unlike the reference)")
     return p
 
 

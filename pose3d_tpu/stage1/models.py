@@ -246,9 +246,15 @@ class JaxStage1:
         keypoint_params=None,
         depth_params=None,
         rng: Optional[jax.Array] = None,
+        confidence_threshold: float = 0.0,
     ):
         self.num_joints = num_joints
         self.input_size = input_size
+        # Keypoints below this confidence are zeroed (conf=0 marks them
+        # invalid downstream — the heatmap validity mask drops them). The
+        # reference ACCEPTS a --yolo_confidence_threshold flag but never
+        # applies it (infer.py:156-237, SURVEY.md §2 quirk); here it works.
+        self.confidence_threshold = confidence_threshold
         self.kp_model = KeypointNet(num_joints=num_joints)
         self.depth_model = DepthNet()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -292,7 +298,10 @@ class JaxStage1:
         batch = self._prep(images)
         kpts, _ = self._kp_fwd(self.kp_vars, batch)
         depths = self._depth_fwd(self.depth_vars, batch)
-        kpts = np.asarray(kpts)
+        kpts = np.asarray(kpts).copy()
+        if self.confidence_threshold > 0:
+            low = kpts[..., 2] < self.confidence_threshold
+            kpts[low] = 0.0
         depths = np.asarray(depths)
         results = []
         for i, im in enumerate(images):

@@ -97,3 +97,14 @@ def test_preprocess_cli_end_to_end(tmp_path, provider, monkeypatch):
     # resume: re-running does nothing (finished.txt)
     n2 = pp.main([str(in_base), str(out_base), "--input-size", "64"])
     assert n2 == 0
+
+
+def test_confidence_threshold_applied():
+    """Unlike the reference (flag accepted, never applied), the threshold
+    zeroes low-confidence keypoints so the heatmap validity mask drops
+    them."""
+    strict = JaxStage1(input_size=64, confidence_threshold=2.0)  # > any conf
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    res = strict.predict_batch([img])[0]
+    assert np.all(res.keypoints == 0.0)
