@@ -141,11 +141,16 @@ def _upsample2(x):
 
 
 class KeypointNet(nn.Module):
-    """Single-person 2D keypoint detector (YOLO-pose-class).
+    """2D keypoint detector (YOLO-pose-class), multi-scale and
+    multi-person capable.
 
-    Input:  [B, H, W, 3] float images in [0, 1] (letterboxed square).
-    Output: (keypoints [B, J, 3] with (norm_x, norm_y, conf),
-             obj_map [B, h8, w8] objectness heatmap at stride 8).
+    Input:  [B, H, W, 3] float images in [0, 1] (square).
+    Output of __call__: per-scale raw heads
+      [(obj [B,h,w], kpt [B,h,w,J,3]) for strides 8, 16, 32]
+    plus decoded best-person keypoints [B, J, 3] (norm_x, norm_y, conf) —
+    the single-person contract matching the reference's first-person
+    selection (infer.py:200-226). Multi-person decoding with greedy
+    center NMS lives in :func:`decode_persons`.
     """
 
     num_joints: int = 17
@@ -158,7 +163,7 @@ class KeypointNet(nn.Module):
         p3, p4, p5 = CSPBackbone(self.widths, dtype=self.dtype)(
             images.astype(self.dtype), train
         )
-        # FPN top-down to stride 8.
+        # FPN top-down (P5→P4→P3); heads at all three scales.
         w = self.widths
         t4 = CSPBlock(w[3], 1, dtype=self.dtype)(
             jnp.concatenate([_upsample2(ConvBN(w[3], 1, dtype=self.dtype)(
@@ -171,26 +176,91 @@ class KeypointNet(nn.Module):
             train,
         )
 
-        # Head at stride 8: objectness logit + per-joint (dx, dy, logit).
-        h = ConvBN(w[2], 3, dtype=self.dtype)(t3, train)
-        obj = nn.Conv(1, (1, 1), dtype=jnp.float32)(h)[..., 0]     # [B,h,w]
-        kpt = nn.Conv(self.num_joints * 3, (1, 1), dtype=jnp.float32)(h)
-        hs, ws = kpt.shape[1], kpt.shape[2]
-        kpt = kpt.reshape(B, hs, ws, self.num_joints, 3)
+        heads = []
+        for feat, width in ((t3, w[2]), (t4, w[3]), (p5, w[4])):
+            h = ConvBN(width, 3, dtype=self.dtype)(feat, train)
+            obj = nn.Conv(1, (1, 1), dtype=jnp.float32)(h)[..., 0]
+            kpt = nn.Conv(self.num_joints * 3, (1, 1), dtype=jnp.float32)(h)
+            hs, ws = kpt.shape[1], kpt.shape[2]
+            heads.append(
+                (obj, kpt.reshape(B, hs, ws, self.num_joints, 3))
+            )
 
-        # Decode: best objectness cell per image (single person).
-        flat = obj.reshape(B, -1)
-        best = jnp.argmax(flat, axis=1)                            # [B]
-        conf_obj = jax.nn.sigmoid(jnp.max(flat, axis=1))           # [B]
-        by, bx = best // ws, best % ws
+        kpts = decode_best_person(heads)
+        return kpts, heads
 
-        sel = kpt[jnp.arange(B), by, bx]                           # [B,J,3]
-        # keypoint positions: cell center + offsets (in cells), normalized.
-        px = (bx[:, None] + 0.5 + sel[..., 0]) / ws
-        py = (by[:, None] + 0.5 + sel[..., 1]) / hs
-        conf = jax.nn.sigmoid(sel[..., 2]) * conf_obj[:, None]
-        kpts = jnp.stack([px, py, conf], axis=-1).astype(jnp.float32)
-        return kpts, obj
+
+def _flatten_heads(heads):
+    """Per-scale heads → (obj [B, N], centers [B, N, 2] normalized,
+    kpts [B, N, J, 3] decoded to normalized coords + conf logits)."""
+    objs, centers, kpts = [], [], []
+    for obj, kpt in heads:
+        B, hs, ws = obj.shape
+        cy = (jnp.arange(hs, dtype=jnp.float32) + 0.5) / hs
+        cx = (jnp.arange(ws, dtype=jnp.float32) + 0.5) / ws
+        cc = jnp.stack(jnp.meshgrid(cx, cy, indexing="xy"), axis=-1)  # [h,w,2]
+        px = (cc[..., 0][None, :, :, None] + kpt[..., 0] / ws)
+        py = (cc[..., 1][None, :, :, None] + kpt[..., 1] / hs)
+        k = jnp.stack([px, py, kpt[..., 2]], axis=-1)  # [B,h,w,J,3]
+        objs.append(obj.reshape(B, -1))
+        centers.append(jnp.broadcast_to(cc[None], (B, hs, ws, 2))
+                       .reshape(B, -1, 2))
+        kpts.append(k.reshape(B, hs * ws, -1, 3))
+    return (jnp.concatenate(objs, 1), jnp.concatenate(centers, 1),
+            jnp.concatenate(kpts, 1))
+
+
+def decode_best_person(heads):
+    """Highest-objectness cell across all scales → [B, J, 3]."""
+    obj, _, kpts = _flatten_heads(heads)
+    best = jnp.argmax(obj, axis=1)
+    b = jnp.arange(obj.shape[0])
+    sel = kpts[b, best]                                # [B, J, 3]
+    conf_obj = jax.nn.sigmoid(jnp.max(obj, axis=1))    # [B]
+    conf = jax.nn.sigmoid(sel[..., 2]) * conf_obj[:, None]
+    return jnp.stack(
+        [sel[..., 0], sel[..., 1], conf], axis=-1
+    ).astype(jnp.float32)
+
+
+def decode_persons(heads, max_persons: int = 5,
+                   conf_threshold: float = 0.25,
+                   nms_radius: float = 0.1):
+    """Multi-person decode: top-k objectness cells across scales with
+    greedy center NMS (static shapes — jit-safe).
+
+    Returns (persons [B, max_persons, J, 3], person_conf [B, max_persons]);
+    suppressed/below-threshold slots have conf 0."""
+    obj, centers, kpts = _flatten_heads(heads)
+    B = obj.shape[0]
+    K = max_persons * 4  # candidate pool before NMS
+    scores, idx = jax.lax.top_k(obj, K)                  # [B, K]
+    bidx = jnp.arange(B)[:, None]
+    cand_c = centers[bidx, idx]                          # [B, K, 2]
+    cand_k = kpts[bidx, idx]                             # [B, K, J, 3]
+    cand_s = jax.nn.sigmoid(scores)                      # [B, K]
+
+    # Greedy NMS over the K candidates (in descending score order).
+    def body(i, keep):
+        ci = jax.lax.dynamic_slice_in_dim(cand_c, i, 1, axis=1)  # [B,1,2]
+        d = jnp.linalg.norm(cand_c - ci, axis=-1)                # [B,K]
+        later = jnp.arange(K)[None, :] > i
+        ki = jax.lax.dynamic_slice_in_dim(keep, i, 1, axis=1)    # [B,1]
+        clash = (d < nms_radius) & later & ki
+        return keep & ~clash
+
+    keep = jnp.ones((B, K), bool)
+    keep = jax.lax.fori_loop(0, K, body, keep)
+    final_s = jnp.where(keep & (cand_s >= conf_threshold), cand_s, 0.0)
+
+    # take the max_persons best surviving candidates
+    top_s, top_i = jax.lax.top_k(final_s, max_persons)   # [B, P]
+    sel_k = cand_k[bidx, top_i]                          # [B, P, J, 3]
+    conf = jax.nn.sigmoid(sel_k[..., 2]) * top_s[..., None]
+    persons = jnp.stack(
+        [sel_k[..., 0], sel_k[..., 1], conf], axis=-1
+    ).astype(jnp.float32)
+    return persons, top_s.astype(jnp.float32)
 
 
 class DepthNet(nn.Module):

@@ -20,11 +20,43 @@ def test_keypointnet_shapes(provider):
     import jax.numpy as jnp
 
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)
-    kpts, obj = provider.kp_model.apply(provider.kp_vars, x, train=False)
+    kpts, heads = provider.kp_model.apply(provider.kp_vars, x, train=False)
     assert kpts.shape == (2, 17, 3)
-    assert obj.shape == (2, 8, 8)  # stride 8
+    # heads at strides 8/16/32
+    assert [h[0].shape for h in heads] == [(2, 8, 8), (2, 4, 4), (2, 2, 2)]
+    assert heads[0][1].shape == (2, 8, 8, 17, 3)
     k = np.asarray(kpts)
     assert np.all(k[..., 2] >= 0) and np.all(k[..., 2] <= 1)  # sigmoid conf
+
+
+def test_multi_person_decode(provider):
+    import jax
+    import jax.numpy as jnp
+    from pose3d_tpu.stage1.models import decode_persons
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 64, 64, 3)), jnp.float32
+    )
+    _, heads = provider.kp_model.apply(provider.kp_vars, x, train=False)
+    persons, conf = jax.jit(
+        lambda h: decode_persons(h, max_persons=3, conf_threshold=0.0,
+                                 nms_radius=0.2)
+    )(heads)
+    assert persons.shape == (2, 3, 17, 3)
+    assert conf.shape == (2, 3)
+    # scores descending per image
+    c = np.asarray(conf)
+    assert np.all(np.diff(c, axis=1) <= 1e-6)
+    # surviving detections are separated by at least the NMS radius
+    cen = np.asarray(persons[..., :2].mean(axis=2))  # [B, P, 2] mean joint
+    for b in range(2):
+        alive = c[b] > 0
+        pts = cen[b][alive]
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                # centers come from distinct cells (mean-joint proxies can
+                # be close, so just check they are not identical)
+                assert not np.allclose(pts[i], pts[j])
 
 
 def test_depthnet_positive(provider):
