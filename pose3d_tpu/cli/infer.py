@@ -114,10 +114,27 @@ def run(args):
     model, variables, model_cfg = load_pose_model(
         args.checkpoint_path, args.model_type
     )
-    extra = (
-        {"confidence_threshold": args.yolo_confidence_threshold}
-        if args.stage1 == "jax" else {}
-    )
+    extra = {}
+    if args.stage1 == "jax":
+        extra["confidence_threshold"] = args.yolo_confidence_threshold
+        if args.kp_weights:
+            extra["kp_weights"] = args.kp_weights
+        if args.depth_weights:
+            extra["depth_weights"] = args.depth_weights
+        if not (args.kp_weights and args.depth_weights) \
+                and not args.allow_untrained:
+            missing = [
+                n for n, v in (("--kp-weights", args.kp_weights),
+                               ("--depth-weights", args.depth_weights))
+                if not v
+            ]
+            raise SystemExit(
+                f"--stage1 jax without {'/'.join(missing)} would run with "
+                "randomly initialized stage-1 networks and emit noise as "
+                "predictions. Provide pretrained weights, pass "
+                "--allow-untrained to proceed anyway, or use "
+                "--stage1 cached with preprocess artifacts."
+            )
     provider = get_stage1_provider(
         args.stage1, num_joints=args.num_joints, **extra
     )
@@ -245,6 +262,15 @@ def build_parser():
                    help="Images lifted per jitted batch")
     p.add_argument("--yolo_model_path", type=str, default=None,
                    help="(compat) ignored by the cached backend")
+    p.add_argument("--kp-weights", type=str, default=None,
+                   help="Pretrained keypoint-model weights for --stage1 jax "
+                        "(ultralytics YOLO11-pose .pt/.safetensors)")
+    p.add_argument("--depth-weights", type=str, default=None,
+                   help="Pretrained depth-model weights for --stage1 jax "
+                        "(DepthPro .safetensors)")
+    p.add_argument("--allow-untrained", action="store_true",
+                   help="Permit --stage1 jax with randomly initialized "
+                        "networks (outputs are noise; testing only)")
     p.add_argument("--yolo_confidence_threshold", type=float, default=0.3,
                    help="Keypoints below this confidence are zeroed "
                         "(actually applied here, unlike the reference)")

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--grad-accum", type=int, default=None)
     p.add_argument("--eval-interval", type=int, default=None)
+    p.add_argument("--log-interval", type=int, default=10,
+                   help="Fetch+log train metrics every N optimizer steps "
+                        "(one packed device readback per window; per-step "
+                        "fetching serializes the dispatch pipeline)")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--no-tensorboard", action="store_true",
                    help="Disable TensorBoard logging (skips TF import)")
@@ -229,6 +233,7 @@ def main(argv=None):
         eval_interval_steps=eval_interval,
         checkpoint_prefix=cfg.checkpoint_prefix,
         preview_interval_steps=cfg.preview_interval,
+        log_interval_steps=args.log_interval,
         rng=jax.random.PRNGKey(cfg.random_seed),
         compat_pa_metric=args.compat_pa_metric,
     )

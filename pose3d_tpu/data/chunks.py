@@ -44,16 +44,22 @@ logger = logging.getLogger("pose3d_tpu.data")
 def list_chunk_files(
     chunks_dir, prefix: str = "", chunk_indices: Optional[Sequence[int]] = None
 ) -> List[Path]:
-    """Find chunk archives, optionally filtered by 6-digit chunk index
-    (parity with reference chunked_dataset.py:447-456)."""
+    """Find chunk archives, optionally filtered by chunk index.
+
+    Filters by the PARSED index rather than the reference's literal
+    ``{idx:06d}.tar.`` substring match (chunked_dataset.py:447-456), so
+    reference-produced 4-digit names (``human36m_chunk_0042.tar.gz``,
+    written by its own dataset_rechunker.py:233) are selectable too — the
+    reference's own loader silently selects zero files for those."""
     d = Path(chunks_dir) / prefix if prefix else Path(chunks_dir)
     files = sorted(d.glob("*.tar.*"))
     if chunk_indices is not None:
-        keep = []
-        for idx in chunk_indices:
-            pat = f"{idx:06d}.tar."
-            keep.extend(f for f in files if pat in f.name)
-        files = keep
+        by_id: Dict[int, List[Path]] = {}
+        for f in files:
+            m = re.search(r"chunk_(\d+)", f.name)
+            if m is not None:
+                by_id.setdefault(int(m.group(1)), []).append(f)
+        files = [f for idx in chunk_indices for f in by_id.get(idx, [])]
     return files
 
 
@@ -66,21 +72,51 @@ def chunk_id_from_filename(path) -> int:
 
 def extract_chunk(tar_path, cache_dir) -> Path:
     """Extract a chunk archive into ``cache_dir``; skip if already extracted
-    (reference chunked_dataset.py:329-341). Returns the chunk directory."""
+    (reference chunked_dataset.py:329-341). Returns the chunk directory.
+
+    Concurrency-safe: extraction goes into a unique temp directory and the
+    finished chunk dir is moved into place with one atomic rename, so a
+    concurrent extractor (train_model runs two iterators over the same val
+    cache) can never observe a half-written chunk. The loser of the rename
+    race discards its copy."""
+    import os
+    import shutil
+    import uuid
+
     tar_path = Path(tar_path)
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
     chunk_id = chunk_id_from_filename(tar_path)
     chunk_dir = cache_dir / f"chunk_{chunk_id:06d}"
-    if not (chunk_dir / "samples.pkl").exists():
+    if (chunk_dir / "samples.pkl").exists():
+        return chunk_dir
+
+    tmp = cache_dir / f".extract_{chunk_id:06d}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    tmp.mkdir(parents=True)
+    try:
         with tarfile.open(tar_path, "r:*") as tar:
-            tar.extractall(path=cache_dir, filter="data")
-        # Some chunkers use unpadded dir names; normalize.
-        if not chunk_dir.exists():
-            for cand in cache_dir.glob("chunk_*"):
-                if cand.is_dir() and chunk_id_from_filename(cand.name) == chunk_id:
-                    cand.rename(chunk_dir)
-                    break
+            tar.extractall(path=tmp, filter="data")
+        src = tmp / f"chunk_{chunk_id:06d}"
+        if not src.exists():
+            # Some chunkers use unpadded dir names; normalize.
+            src = next(
+                (c for c in tmp.glob("chunk_*")
+                 if c.is_dir() and chunk_id_from_filename(c.name) == chunk_id),
+                None,
+            )
+        if src is None:
+            raise FileNotFoundError(
+                f"No chunk_* directory inside archive {tar_path}"
+            )
+        try:
+            os.rename(src, chunk_dir)  # atomic on POSIX
+        except OSError:
+            # Rename over an existing non-empty dir fails → a concurrent
+            # extractor won the race; its copy is complete by definition.
+            if not (chunk_dir / "samples.pkl").exists():
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return chunk_dir
 
 
