@@ -119,6 +119,16 @@ def build_parser():
     p.add_argument("--input-size", type=int, default=512)
     p.add_argument("--stage1", type=str, default="jax", choices=["jax"],
                    help="Stage-1 backend (native JAX models)")
+    p.add_argument("--kp-weights", type=str, default=None,
+                   help="Pretrained keypoint weights (ultralytics "
+                        "YOLO11-pose .pt/.safetensors); random-init "
+                        "KeypointNet otherwise")
+    p.add_argument("--depth-weights", type=str, default=None,
+                   help="Pretrained depth weights (DepthPro "
+                        ".safetensors/.pt); random-init DepthNet otherwise")
+    p.add_argument("--allow-untrained", action="store_true",
+                   help="Permit running without pretrained stage-1 weights "
+                        "(outputs are noise; testing only)")
     return p
 
 
@@ -129,7 +139,21 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from pose3d_tpu.stage1.models import JaxStage1
 
-    provider = JaxStage1(input_size=args.input_size)
+    if not (args.kp_weights and args.depth_weights) \
+            and not args.allow_untrained:
+        missing = [n for n, v in (("--kp-weights", args.kp_weights),
+                                  ("--depth-weights", args.depth_weights))
+                   if not v]
+        raise SystemExit(
+            f"preprocess without {'/'.join(missing)} would write noise "
+            "artifacts from randomly initialized stage-1 networks. Provide "
+            "pretrained weights or pass --allow-untrained."
+        )
+    provider = JaxStage1(
+        input_size=args.input_size,
+        kp_weights=args.kp_weights,
+        depth_weights=args.depth_weights,
+    )
 
     input_base = Path(args.input_base)
     output_base = Path(args.output_base)

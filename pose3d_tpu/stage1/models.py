@@ -25,12 +25,15 @@ container formats and CLIs are exercisable end-to-end either way.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("pose3d_tpu.stage1.models")
 
 
 class ConvBN(nn.Module):
@@ -304,10 +307,183 @@ class DepthNet(nn.Module):
         return (1.0 / inv_depth + jax.nn.softplus(shift)).astype(jnp.float32)
 
 
+class NativeKeypointBackend:
+    """KeypointNet over square-resized inputs (trainable native family)."""
+
+    def __init__(self, num_joints: int, input_size: int, params=None,
+                 rng=None):
+        self.num_joints = num_joints
+        self.input_size = input_size
+        self.model = KeypointNet(num_joints=num_joints)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        self.variables = params or self.model.init(rng, dummy, train=False)
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)[0]
+        )
+
+    def predict(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        batch = _square_resize_batch(images, self.input_size)
+        return np.asarray(self._fwd(self.variables, batch))
+
+
+class YoloKeypointBackend:
+    """Ported ultralytics YOLO11-pose: letterbox → jitted forward+decode →
+    best person → un-letterbox to original normalized coords (the full
+    contract of reference infer.py:156-237 with pretrained weights)."""
+
+    def __init__(self, weights, input_size: int = 640,
+                 box_conf_threshold: float = 0.25, dtype=None):
+        from pose3d_tpu.stage1.yolo_port import load_yolo11_pose
+
+        self.input_size = input_size
+        self.box_conf_threshold = box_conf_threshold
+        self.model, self.variables = load_yolo11_pose(weights, dtype=dtype)
+        self.num_joints = self.model.kpt_shape[0]
+
+        from pose3d_tpu.stage1.yolo11 import best_person_keypoints
+
+        def fwd(v, x):
+            raw = self.model.apply(v, x, train=False)
+            return best_person_keypoints(raw, input_size)
+
+        self._fwd = jax.jit(fwd)
+
+    def predict(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        import cv2
+
+        from pose3d_tpu.stage1.yolo11 import letterbox_params
+
+        s = self.input_size
+        batch = np.full((len(images), s, s, 3), 114 / 255.0, np.float32)
+        geoms = []
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            r, nw, nh, left, top = letterbox_params(h, w, s)
+            resized = cv2.resize(im, (nw, nh),
+                                 interpolation=cv2.INTER_LINEAR)
+            if resized.dtype == np.uint8:
+                resized = resized.astype(np.float32) / 255.0
+            batch[i, top:top + nh, left:left + nw] = resized
+            geoms.append((r, left, top, w, h))
+        kp, conf = self._fwd(self.variables, batch)
+        kp, conf = np.asarray(kp).copy(), np.asarray(conf)
+        out = np.zeros((len(images), self.num_joints, 3), np.float32)
+        for i, (r, left, top, w, h) in enumerate(geoms):
+            if conf[i] < self.box_conf_threshold:
+                continue  # no person detected → zeros (reference contract)
+            x = (kp[i, :, 0] * s - left) / r / w
+            y = (kp[i, :, 1] * s - top) / r / h
+            out[i] = np.stack(
+                [np.clip(x, 0, 1), np.clip(y, 0, 1), kp[i, :, 2]], axis=-1
+            )
+        return out
+
+
+class NativeDepthBackend:
+    """DepthNet over square-resized inputs (trainable native family)."""
+
+    def __init__(self, input_size: int, params=None, rng=None):
+        self.input_size = input_size
+        self.model = DepthNet()
+        rng = rng if rng is not None else jax.random.PRNGKey(1)
+        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        self.variables = params or self.model.init(rng, dummy, train=False)
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+    def predict(self, images: Sequence[np.ndarray]):
+        import cv2
+
+        batch = _square_resize_batch(images, self.input_size)
+        depths = np.asarray(self._fwd(self.variables, batch))
+        out = []
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            out.append(cv2.resize(depths[i], (w, h),
+                                  interpolation=cv2.INTER_LINEAR))
+        return out
+
+
+class DepthProBackend:
+    """Ported Apple DepthPro: 1536² resize + normalize → jitted multi-scale
+    ViT forward → FOV-calibrated metric depth at original resolution
+    (reference infer.py:240-252, preprocess.py:71-81)."""
+
+    def __init__(self, weights, input_size: int = 1536,
+                 max_batch: int = 2, dtype=None):
+        from pose3d_tpu.stage1.depthpro_port import load_depth_pro
+
+        self.input_size = input_size
+        self.max_batch = max_batch
+        self.model, self.variables = load_depth_pro(
+            weights, dtype=dtype, image_size=input_size
+        )
+
+        def fwd(v, x):
+            depth, fov = self.model.apply(v, x)
+            if fov is not None:
+                # metric scale: canonical · 2·tan(fov/2); the HF
+                # post-process width/focal factors cancel (depthpro.py
+                # postprocess_depth), so this is resolution-independent.
+                depth = depth * 2.0 * jnp.tan(0.5 * jnp.deg2rad(fov))[
+                    :, None, None
+                ]
+            return depth
+
+        self._fwd = jax.jit(fwd)
+
+    def predict(self, images: Sequence[np.ndarray]):
+        import cv2
+
+        s = self.input_size
+        canonical = []
+        for i in range(0, len(images), self.max_batch):
+            chunk = images[i:i + self.max_batch]
+            batch = np.stack([
+                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+                for im in chunk
+            ])
+            if batch.dtype == np.uint8:
+                batch = batch.astype(np.float32) / 255.0
+            batch = (batch.astype(np.float32) - 0.5) / 0.5
+            # pad to max_batch so every call hits the same compiled program
+            n = len(chunk)
+            if n < self.max_batch:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], self.max_batch - n, 0)]
+                )
+            out = np.asarray(self._fwd(self.variables, batch))[:n]
+            canonical.extend(out)
+        results = []
+        for im, d in zip(images, canonical):
+            h, w = im.shape[:2]
+            d = cv2.resize(d, (w, h), interpolation=cv2.INTER_LINEAR)
+            results.append(1.0 / np.clip(d, 1e-4, 1e4))
+        return results
+
+
+def _square_resize_batch(images: Sequence[np.ndarray], size: int
+                         ) -> np.ndarray:
+    import cv2
+
+    out = np.stack([
+        cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+        for im in images
+    ])
+    if out.dtype == np.uint8:
+        out = out.astype(np.float32) / 255.0
+    return out.astype(np.float32)
+
+
 class JaxStage1:
-    """Batched, jitted stage-1 provider over :class:`KeypointNet` +
-    :class:`DepthNet` (the TPU replacement for per-image YOLO + DepthPro
-    calls; SURVEY.md §3.2 'no batching anywhere' is the anti-pattern)."""
+    """Batched, jitted stage-1 provider (the TPU replacement for per-image
+    YOLO + DepthPro torch calls; SURVEY.md §3.2 'no batching anywhere' is
+    the anti-pattern). Backends:
+
+      * ``kp_weights``  → :class:`YoloKeypointBackend` (ported YOLO11-pose)
+      * ``depth_weights`` → :class:`DepthProBackend` (ported DepthPro)
+      * otherwise the trainable native :class:`KeypointNet`/:class:`DepthNet`.
+    """
 
     def __init__(
         self,
@@ -317,6 +493,11 @@ class JaxStage1:
         depth_params=None,
         rng: Optional[jax.Array] = None,
         confidence_threshold: float = 0.0,
+        kp_weights=None,
+        depth_weights=None,
+        kp_input_size: int = 640,
+        depth_input_size: int = 1536,
+        dtype=None,
     ):
         self.num_joints = num_joints
         self.input_size = input_size
@@ -325,62 +506,72 @@ class JaxStage1:
         # reference ACCEPTS a --yolo_confidence_threshold flag but never
         # applies it (infer.py:156-237, SURVEY.md §2 quirk); here it works.
         self.confidence_threshold = confidence_threshold
-        self.kp_model = KeypointNet(num_joints=num_joints)
-        self.depth_model = DepthNet()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        self.kp_vars = keypoint_params or self.kp_model.init(
-            rng, dummy, train=False
-        )
-        self.depth_vars = depth_params or self.depth_model.init(
-            jax.random.fold_in(rng, 1), dummy, train=False
-        )
-        self._kp_fwd = jax.jit(
-            lambda v, x: self.kp_model.apply(v, x, train=False)
-        )
-        self._depth_fwd = jax.jit(
-            lambda v, x: self.depth_model.apply(v, x, train=False)
-        )
+        if kp_weights:
+            self._kp = YoloKeypointBackend(
+                kp_weights, input_size=kp_input_size, dtype=dtype
+            )
+            if self._kp.num_joints != num_joints:
+                logger.warning(
+                    "keypoint weights predict %d joints, pipeline expects %d",
+                    self._kp.num_joints, num_joints,
+                )
+        else:
+            self._kp = NativeKeypointBackend(
+                num_joints, input_size, params=keypoint_params, rng=rng
+            )
+        if depth_weights:
+            self._depth = DepthProBackend(
+                depth_weights, input_size=depth_input_size, dtype=dtype
+            )
+        else:
+            self._depth = NativeDepthBackend(
+                input_size, params=depth_params,
+                rng=jax.random.fold_in(rng, 1),
+            )
 
-    def _prep(self, images: Sequence[np.ndarray]) -> np.ndarray:
-        """Fused letterbox-free square resize + normalize → [B, S, S, 3]."""
-        import cv2
+    # introspection helpers (native backends only), used by tests and the
+    # training path for the native stage-1 family
+    @property
+    def kp_model(self):
+        return self._kp.model
 
-        s = self.input_size
-        out = np.stack(
-            [
-                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
-                for im in images
-            ]
-        )
-        if out.dtype == np.uint8:
-            out = out.astype(np.float32) / 255.0
-        return out.astype(np.float32)
+    @property
+    def kp_vars(self):
+        return self._kp.variables
+
+    @property
+    def depth_model(self):
+        return self._depth.model
+
+    @property
+    def depth_vars(self):
+        return self._depth.variables
 
     def predict_batch(self, images: Sequence[np.ndarray]):
         """images: list of [H, W, 3] uint8/float RGB. Returns a list of
         Stage1Result with keypoints [J,3] and per-image metric depth at
         original resolution."""
-        import cv2
-
         from pose3d_tpu.stage1.api import Stage1Result
 
-        batch = self._prep(images)
-        kpts, _ = self._kp_fwd(self.kp_vars, batch)
-        depths = self._depth_fwd(self.depth_vars, batch)
-        kpts = np.asarray(kpts).copy()
+        kpts = self._kp.predict(images)[:, : self.num_joints]
+        if kpts.shape[1] < self.num_joints:  # pad (reference infer.py:214)
+            pad = np.zeros(
+                (len(images), self.num_joints - kpts.shape[1], 3),
+                np.float32,
+            )
+            kpts = np.concatenate([kpts, pad], axis=1)
         if self.confidence_threshold > 0:
-            low = kpts[..., 2] < self.confidence_threshold
-            kpts[low] = 0.0
-        depths = np.asarray(depths)
+            kpts = kpts.copy()
+            kpts[kpts[..., 2] < self.confidence_threshold] = 0.0
+        depths = self._depth.predict(images)
         results = []
-        for i, im in enumerate(images):
-            h, w = im.shape[:2]
-            d = cv2.resize(depths[i], (w, h), interpolation=cv2.INTER_LINEAR)
+        for i in range(len(images)):
+            d = depths[i].astype(np.float32)
             results.append(
                 Stage1Result(
                     keypoints=kpts[i].astype(np.float32),
-                    depth=d.astype(np.float32),
+                    depth=d,
                     depth_min=float(d.min()),
                     depth_max=float(d.max()),
                 )

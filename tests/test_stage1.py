@@ -97,7 +97,7 @@ def test_preprocess_cli_end_to_end(tmp_path, provider, monkeypatch):
     monkeypatch.setattr(
         "pose3d_tpu.stage1.models.JaxStage1", lambda **kw: provider
     )
-    n = pp.main([str(in_base), str(out_base), "--batch-size", "2",
+    n = pp.main([str(in_base), str(out_base), "--allow-untrained", "--batch-size", "2",
                  "--input-size", "64"])
     assert n == 3
     out_dir = out_base / "s_01_act_02"
@@ -127,7 +127,7 @@ def test_preprocess_cli_end_to_end(tmp_path, provider, monkeypatch):
     np.testing.assert_allclose(res.depth_max, meta0["depth_max"], rtol=1e-5)
 
     # resume: re-running does nothing (finished.txt)
-    n2 = pp.main([str(in_base), str(out_base), "--input-size", "64"])
+    n2 = pp.main([str(in_base), str(out_base), "--allow-untrained", "--input-size", "64"])
     assert n2 == 0
 
 

@@ -1,0 +1,72 @@
+"""Integration: JaxStage1 with ported pretrained-format weights — the
+full ``--stage1 jax --kp-weights … --depth-weights …`` provider path.
+Replica checkpoints (upstream state_dict formats, random weights) stand in
+for real yolo11x-pose.pt / DepthPro safetensors; the numerics of the ports
+themselves are covered by test_yolo11_port / test_depthpro_port."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def weight_files(tmp_path_factory):
+    from transformers import DepthProConfig, DepthProForDepthEstimation
+
+    from tests.test_depthpro_port import TINY_CFG
+    from tests.yolo11_torch_replica import YOLO11PoseTorch
+
+    d = tmp_path_factory.mktemp("stage1_weights")
+    torch.manual_seed(0)
+    yolo = YOLO11PoseTorch(scale="n").eval()
+    torch.save(yolo.state_dict(), d / "yolo11n-pose.pt")
+
+    dp = DepthProForDepthEstimation(DepthProConfig(**TINY_CFG)).eval()
+    dp.save_pretrained(d / "depthpro")
+    return d / "yolo11n-pose.pt", d / "depthpro" / "model.safetensors"
+
+
+def test_provider_with_pretrained_weights(weight_files):
+    from pose3d_tpu.stage1 import get_stage1_provider
+
+    kp_w, depth_w = weight_files
+    provider = get_stage1_provider(
+        "jax",
+        kp_weights=str(kp_w),
+        depth_weights=str(depth_w),
+        kp_input_size=64,
+        depth_input_size=64,
+    )
+    rng = np.random.default_rng(0)
+    images = [
+        rng.integers(0, 255, size=(48, 80, 3), dtype=np.uint8).astype(
+            np.uint8
+        ),
+        rng.integers(0, 255, size=(96, 64, 3), dtype=np.uint8).astype(
+            np.uint8
+        ),
+    ]
+    results = provider.predict_batch(images)
+    assert len(results) == 2
+    for im, r in zip(images, results):
+        assert r.keypoints.shape == (17, 3)
+        assert np.isfinite(r.keypoints).all()
+        assert (r.keypoints[:, :2] >= 0).all()
+        assert (r.keypoints[:, :2] <= 1).all()
+        # depth at original resolution, metric-positive
+        assert r.depth.shape == im.shape[:2]
+        assert (r.depth > 0).all()
+        assert r.depth_min <= r.depth_max
+
+
+def test_provider_native_fallback_unchanged():
+    """Without weights the provider still runs the native nets."""
+    from pose3d_tpu.stage1 import get_stage1_provider
+
+    provider = get_stage1_provider("jax", input_size=64)
+    rng = np.random.default_rng(1)
+    im = rng.integers(0, 255, size=(50, 70, 3), dtype=np.uint8)
+    r = provider.predict_batch([im])[0]
+    assert r.keypoints.shape == (17, 3)
+    assert r.depth.shape == (50, 70)
