@@ -1,0 +1,121 @@
+"""Eval-only CLI: load a checkpoint, run the exact validation pass over a
+chunk set, print MPJPE / PA-MPJPE / loss components.
+
+This is the accuracy-parity staging tool: a reference ``.pth`` converted
+with ``pose3d-convert`` (cli/convert.py, forward parity proven to 1e-3)
+can be evaluated here over real chunks, proving the whole metric pipeline
+(data → model → MPJPE/PA-MPJPE) end-to-end without training. The metric
+math matches the reference validation loop (src/train.py:203-298) with
+exact masked averaging over ragged final batches.
+
+Usage:
+  python -m pose3d_tpu.cli.evaluate --checkpoint ck --chunks-dir chunks \
+      --val-chunks 0 1 [--compat-pa-metric] [--absolute-pose] [--json out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    force=True,
+)
+logger = logging.getLogger("Evaluate")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Evaluate a checkpoint over validation chunks (TPU)"
+    )
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--chunks-dir", type=str, required=True)
+    p.add_argument("--val-chunks", type=int, nargs="+", default=None)
+    p.add_argument("--prefix", type=str, default="test",
+                   help="Chunk filename prefix subdirectory (train|test)")
+    p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--absolute-pose", action="store_true",
+                   help="Evaluate absolute camera-space joints (DEP-P) "
+                        "instead of root-relative (IND-P)")
+    p.add_argument("--compat-pa-metric", action="store_true",
+                   help="Report PA-MPJPE with the reference's transposed-"
+                        "rotation convention instead of true Procrustes")
+    p.add_argument("--attention-backend", type=str, default="pallas",
+                   choices=["pallas", "xla"])
+    p.add_argument("--json", type=str, default=None,
+                   help="Also write metrics to this JSON file")
+    return p
+
+
+def run(args) -> dict:
+    from pose3d_tpu.core.runtime import apply_tpu_workarounds
+
+    apply_tpu_workarounds()
+
+    from pose3d_tpu.core.config import GlobalConfig, make_model_config
+    from pose3d_tpu.core.mesh import make_data_mesh_for_batch
+    from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import (
+        load_checkpoint_meta,
+        restore_train_state,
+    )
+    from pose3d_tpu.train.loop import evaluate
+    from pose3d_tpu.train.step import make_eval_step
+
+    cfg = GlobalConfig()
+    batch_size = args.batch_size or cfg.batch_size
+
+    meta = load_checkpoint_meta(args.checkpoint)
+    model_type = meta.get("model_type", cfg.model_type)
+    model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
+    model, variables = init_model(
+        model_cfg, batch_size=batch_size,
+        attention_backend=args.attention_backend,
+    )
+    state = create_train_state(model, variables)
+    state, step = restore_train_state(state, args.checkpoint)
+    logger.info("Evaluating %s checkpoint %s (step %d)",
+                model_type, args.checkpoint, step)
+
+    cache_dir = Path(args.cache_dir) if args.cache_dir else None
+    val_ds = StreamingChunkedDataset(
+        args.prefix, args.chunks_dir, chunk_indices=args.val_chunks,
+        image_size=tuple(model_cfg.image_size), cache_dir=cache_dir,
+        shuffle=False, shuffle_chunks=False,
+        root_relative=not args.absolute_pose,
+    )
+    val_loader = BatchLoader(val_ds, batch_size, drop_last=False)
+
+    mesh = make_data_mesh_for_batch(batch_size)
+    eval_step = make_eval_step(
+        model, mesh=mesh, compat_pa=args.compat_pa_metric, per_sample=True,
+    )
+    metrics = evaluate(eval_step, state, val_loader, pad_to=batch_size)
+    metrics = {k: float(v) for k, v in metrics.items()}
+    metrics["checkpoint_step"] = step
+
+    logger.info("MPJPE      : %.2f mm", metrics["mpjpe"])
+    logger.info("PA-MPJPE   : %.2f mm", metrics["pa_mpjpe"])
+    for k, v in sorted(metrics.items()):
+        if k not in ("mpjpe", "pa_mpjpe"):
+            logger.info("%-11s: %.4f", k, v)
+    print(json.dumps(metrics))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def main(argv=None):
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
