@@ -156,17 +156,93 @@ def _fwd_impl(q, k, v, interpret):
     return jnp.transpose(out, (0, 2, 1, 3))[:, :Tq]
 
 
+# ---------------------------------------------------------------------------
+# Partitioning: make the kernel GSPMD/Shardy-aware so it composes with
+# tensor parallelism (heads sharded over the mesh "model" axis,
+# parallel/tp.py) without shard_map plumbing at every call site. Attention
+# is embarrassingly parallel over (batch, head); the rules below shard
+# those dims and force sequence/head_dim replicated, and the partition
+# callback lowers each shard to the ordinary single-device kernel.
+# ---------------------------------------------------------------------------
+
+
+def _proj_bh(mesh, spec):
+    """Keep batch (dim 0) and head (dim 2) mesh axes; replicate seq/dim."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def get(i):
+        return spec[i] if spec is not None and i < len(spec) else None
+
+    return NamedSharding(mesh, P(get(0), None, get(2), None))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return _fwd_impl(q, k, v, interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        qs = _proj_bh(mesh, arg_shapes[0].sharding.spec)
+
+        def lower(q, k, v):
+            return _fwd_impl(q, k, v, interpret)
+
+        return mesh, lower, qs, (qs, qs, qs)
+
+    fwd.def_partition(
+        partition=partition,
+        sharding_rule="b tq h d, b tk h d, b tk h d -> b tq h d",
+        need_replication_factors=("tq", "d", "tk"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def bwd(q, k, v, g):
+        return _bwd_impl(q, k, v, g, interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        qs = _proj_bh(mesh, arg_shapes[0].sharding.spec)
+        ks = _proj_bh(mesh, arg_shapes[1].sharding.spec)
+
+        def lower(q, k, v, g):
+            return _bwd_impl(q, k, v, g, interpret)
+
+        return mesh, lower, (qs, ks, ks), (qs, ks, ks, qs)
+
+    bwd.def_partition(
+        partition=partition,
+        sharding_rule=(
+            "b tq h d, b tk h d, b tk h d, b tq h d "
+            "-> b tq h d, b tk h d, b tk h d"
+        ),
+        need_replication_factors=("tq", "d", "tk"),
+    )
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret)
+    return _sharded_fwd(interpret)(q, k, v)
 
 
 def _flash_fwd(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret), (q, k, v)
+    return _sharded_fwd(interpret)(q, k, v), (q, k, v)
 
 
 def _flash_bwd(interpret, residuals, g):
     q, k, v = residuals
+    return _sharded_bwd(interpret)(q, k, v, g)
+
+
+def _bwd_impl(q, k, v, g, interpret):
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     scale = 1.0 / (D ** 0.5)

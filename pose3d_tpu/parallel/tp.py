@@ -18,9 +18,11 @@ with unconstrained state shardings, XLA GSPMD propagates the layouts and
 inserts the all-reduces after the row-parallel matmuls — no manual
 collectives.
 
-Note: the fused Pallas attention kernel is not partition-aware; use
-``attention_backend="xla"`` when the model axis is >1 (a shard_map wrapper
-for the kernel is future work).
+The fused Pallas attention kernel is partition-aware via
+jax.experimental.custom_partitioning (ops/pallas/flash_attention.py): its
+(batch, head) grid shards over the mesh data/model axes under GSPMD/Shardy,
+so ``attention_backend="pallas"`` composes with a model axis > 1
+(tests/test_pallas_attention.py::test_flash_attention_tensor_parallel).
 """
 
 from __future__ import annotations

@@ -104,3 +104,43 @@ def test_cross_attention_grads():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_tensor_parallel():
+    """The kernel must compose with a (data, model) mesh — batch sharded
+    over "data", heads over "model" (the Megatron layout of parallel/tp.py)
+    — via its custom_partitioning rules, for forward AND gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pose3d_tpu.core.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh((2, 4), ("data", "model"))
+    B, T, H, D = 4, 64, 8, 32
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    v = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    qd, kd, vd = (jax.device_put(x, sh) for x in (q, k, v))
+
+    def loss(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)),
+                in_shardings=(sh, sh, sh))
+    got, grads = f(qd, kd, vd)
+
+    def ref_loss(q, k, v):
+        return (dot_product_attention(q, k, v, backend="xla") ** 2).sum()
+
+    want, ref_grads = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+    for g, rg in zip(grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(rg), rtol=2e-3, atol=2e-3
+        )
