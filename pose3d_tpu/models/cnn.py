@@ -46,19 +46,20 @@ class DotStatsBatchNorm(nn.Module):
     forces an MXU-friendly relayout. Semantics match nn.BatchNorm
     (momentum, eps, running stats, scale/bias).
 
-    STATUS: experimental. Numerically validated (tests/test_fast_bn.py);
-    at the full 500×500 CNN scale the rank-1 dot with a multi-million
-    contraction dimension crashes the remote TPU compiler (HTTP 500 from
-    tpu_compile_helper, observed for both the concat and the two-dot
-    formulations), so the default config keeps flax BatchNorm
-    (identity-norm control bounds the whole BN cost at ~21% of step time —
-    see CLAUDE.md perf notes)."""
+    Round-1 finding: a single rank-1 dot with a multi-million contraction
+    dimension crashed the remote TPU compiler (HTTP 500 from
+    tpu_compile_helper). Round-2 fix: the contraction is CHUNKED — x is
+    reshaped to [nb, n/nb, C] and reduced with a batched dot whose
+    contraction dim stays ≤ ``max_chunk``, followed by a tiny [nb, C]
+    VPU reduce. Numerics identical (fp32 accumulation either way);
+    validated in tests/test_fast_bn.py."""
 
     use_running_average: bool
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    max_chunk: int = 1 << 16
 
     @nn.compact
     def __call__(self, x):
@@ -79,20 +80,23 @@ class DotStatsBatchNorm(nn.Module):
             var = ra_var.value
         else:
             n = x.size // C
-            x2d = x.reshape(n, C).astype(self.dtype)
-            # E[x] as a rank-1 MXU contraction; E[x²] as a self-inner
-            # product per channel (both single passes over x, no concat).
-            ones = jnp.ones((1, n), self.dtype)
+            # chunk the contraction dim (compiler limit, see docstring)
+            nb = max(1, -(-n // self.max_chunk))
+            while n % nb and nb < n:
+                nb += 1
+            x3 = x.reshape(nb, n // nb, C).astype(self.dtype)
+            # E[x] as a batched rank-1 MXU contraction; E[x²] as a
+            # self-inner product per channel (both single passes over x).
+            ones = jnp.ones((nb, 1, n // nb), self.dtype)
+            dims = (((2,), (1,)), ((0,), (0,)))
             s1 = jax.lax.dot_general(
-                ones, x2d,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                ones, x3, dimension_numbers=dims,
                 preferred_element_type=jnp.float32,
-            )[0]                                   # [C] fp32
+            ).sum(axis=(0, 1))                     # [C] fp32
             s2 = jax.lax.dot_general(
-                ones, x2d * x2d,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                ones, x3 * x3, dimension_numbers=dims,
                 preferred_element_type=jnp.float32,
-            )[0]                                   # [C] fp32
+            ).sum(axis=(0, 1))                     # [C] fp32
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
