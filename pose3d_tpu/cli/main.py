@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention-backend", type=str, default="pallas",
                    choices=["pallas", "xla"],
                    help="Attention kernel for the transformer model")
+    p.add_argument("--vit-weights", type=str, default=None,
+                   help="Pretrained timm-format ViT weights "
+                        "(.pth/.safetensors, vit_base_patch16_384 family) "
+                        "to initialize the transformer backbone — the "
+                        "reference builds its ViT from pretrained timm "
+                        "weights (src/models/transformers.py:174-179). "
+                        "Ignored when resuming from a checkpoint.")
     p.add_argument("--model-args", type=str, default=None,
                    help="JSON dict of model-config overrides (same keys as "
                         "checkpoint model_args)")
@@ -155,6 +162,36 @@ def main(argv=None):
         model_cfg, batch_size=batch_size,
         attention_backend=args.attention_backend,
     )
+    if args.vit_weights:
+        if model_type != "transformer":
+            raise SystemExit("--vit-weights only applies to the "
+                             "transformer model")
+        if args.checkpoint and Path(args.checkpoint).exists():
+            logger.warning("--vit-weights ignored: checkpoint %s carries "
+                           "the full backbone state", args.checkpoint)
+        else:
+            # reference transformers.py:174-224: timm pretrained ViT with
+            # 3→4ch patch-embed inflation + pos-embed interpolation.
+            from pose3d_tpu.stage1.port import (
+                load_torch_state_dict,
+                merge_params,
+                port_vit_backbone,
+            )
+
+            sd = load_torch_state_dict(args.vit_weights)
+            n_patches = (
+                (model_cfg.image_size[0] // model_cfg.vit_patch_size)
+                * (model_cfg.image_size[1] // model_cfg.vit_patch_size)
+            )
+            ported = port_vit_backbone(
+                sd, num_heads=model_cfg.vit_heads,
+                depth=model_cfg.vit_depth,
+                in_channels=model_cfg.image_in_channels,
+                num_patches=n_patches,
+            )
+            variables = merge_params(variables, ported, "vit_backbone")
+            logger.info("Initialized ViT backbone from %s",
+                        args.vit_weights)
     freeze_kw = {}
     if args.freeze_backbone and model_type == "transformer":
         # reference src/models/transformers.py:226-236: freeze the ViT but
