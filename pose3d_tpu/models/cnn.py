@@ -60,6 +60,10 @@ class DotStatsBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     max_chunk: int = 1 << 16
+    # "dot": batched MXU contraction; "pallas": fused one-pass Σx/Σx²
+    # kernel (ops/pallas/bn_stats) — the route that both compiles at full
+    # scale and beats XLA's slow batch-minor-layout reduces.
+    stats: str = "dot"
 
     @nn.compact
     def __call__(self, x):
@@ -80,23 +84,31 @@ class DotStatsBatchNorm(nn.Module):
             var = ra_var.value
         else:
             n = x.size // C
-            # chunk the contraction dim (compiler limit, see docstring)
-            nb = max(1, -(-n // self.max_chunk))
-            while n % nb and nb < n:
-                nb += 1
-            x3 = x.reshape(nb, n // nb, C).astype(self.dtype)
-            # E[x] as a batched rank-1 MXU contraction; E[x²] as a
-            # self-inner product per channel (both single passes over x).
-            ones = jnp.ones((nb, 1, n // nb), self.dtype)
-            dims = (((2,), (1,)), ((0,), (0,)))
-            s1 = jax.lax.dot_general(
-                ones, x3, dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-            ).sum(axis=(0, 1))                     # [C] fp32
-            s2 = jax.lax.dot_general(
-                ones, x3 * x3, dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-            ).sum(axis=(0, 1))                     # [C] fp32
+            if self.stats == "pallas":
+                from pose3d_tpu.ops.pallas.bn_stats import bn_stats
+
+                s1, s2 = bn_stats(
+                    x.reshape(n, C).astype(self.dtype),
+                    jax.default_backend() != "tpu",  # interpret off-TPU
+                )
+            else:
+                # chunk the contraction dim (compiler limit, docstring)
+                nb = max(1, -(-n // self.max_chunk))
+                while n % nb and nb < n:
+                    nb += 1
+                x3 = x.reshape(nb, n // nb, C).astype(self.dtype)
+                # E[x] as a batched rank-1 MXU contraction; E[x²] as a
+                # self-inner product per channel (one pass over x each).
+                ones = jnp.ones((nb, 1, n // nb), self.dtype)
+                dims = (((2,), (1,)), ((0,), (0,)))
+                s1 = jax.lax.dot_general(
+                    ones, x3, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                ).sum(axis=(0, 1))                 # [C] fp32
+                s2 = jax.lax.dot_general(
+                    ones, x3 * x3, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                ).sum(axis=(0, 1))                 # [C] fp32
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
@@ -131,6 +143,11 @@ def _norm(name: str, dtype, param_dtype):
             return DotStatsBatchNorm(
                 use_running_average=use_running_average,
                 dtype=dtype, param_dtype=param_dtype,
+            )
+        if name == "batch_pallas":
+            return DotStatsBatchNorm(
+                use_running_average=use_running_average,
+                dtype=dtype, param_dtype=param_dtype, stats="pallas",
             )
         if name == "batch":
             return nn.BatchNorm(

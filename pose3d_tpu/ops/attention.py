@@ -28,6 +28,13 @@ def dot_product_attention(q, k, v, *, backend: str = "xla"):
         from pose3d_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
+    if backend == "pallas_interpret":
+        # Pallas interpreter on any backend — exercises the real kernel
+        # (incl. its custom_partitioning under a mesh) in CPU tests and
+        # the driver's multichip dryrun.
+        from pose3d_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, interpret=True)
     # backend == "pallas" off-TPU falls through to the XLA path.
 
     dtype = q.dtype

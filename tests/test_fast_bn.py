@@ -82,3 +82,48 @@ def test_cnn_with_batch_dot_runs():
     )
     assert out.shape == (2, 17, 3)
     assert "batch_stats" in muts
+
+
+def test_pallas_stats_match_flax():
+    """batch_pallas: the fused Σx/Σx² kernel (interpret mode on CPU) must
+    reproduce flax BatchNorm outputs, running stats, and input/param
+    gradients."""
+    x = jnp.asarray(rng.normal(1.5, 2.5, size=(6, 7, 5, 24)), jnp.float32)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=jnp.float32)
+    fast = DotStatsBatchNorm(use_running_average=False, dtype=jnp.float32,
+                             stats="pallas")
+    rv = ref.init(jax.random.PRNGKey(0), x)
+    fv = fast.init(jax.random.PRNGKey(0), x)
+    ro, rmut = ref.apply(rv, x, mutable=["batch_stats"])
+    fo, fmut = fast.apply(fv, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(ro), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fmut["batch_stats"]["mean"]),
+        np.asarray(rmut["batch_stats"]["mean"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fmut["batch_stats"]["var"]),
+        np.asarray(rmut["batch_stats"]["var"]), rtol=1e-5,
+    )
+
+    def loss(mod, variables, x):
+        out, _ = mod.apply(variables, x, mutable=["batch_stats"])
+        return (out ** 3).mean()  # asymmetric: exercises mean/var grads
+
+    gr = jax.grad(loss, argnums=2)(ref, rv, x)
+    gf = jax.grad(loss, argnums=2)(fast, fv, x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_stats_ragged_rows():
+    """n not divisible by the kernel tile (masked tail path)."""
+    from pose3d_tpu.ops.pallas.bn_stats import bn_stats
+
+    x = rng.normal(size=(1234, 16)).astype(np.float32)
+    s1, s2 = bn_stats(jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(s1), x.sum(0),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), (x * x).sum(0),
+                               rtol=1e-4, atol=1e-3)
