@@ -117,10 +117,17 @@ def run(args):
     extra = {}
     if args.stage1 == "jax":
         extra["confidence_threshold"] = args.yolo_confidence_threshold
+        if not args.kp_weights and args.yolo_model_path and \
+                Path(args.yolo_model_path).exists():
+            # drop-in parity: the reference's --yolo_model_path names the
+            # ultralytics checkpoint (infer.py:138); honor it here too
+            args.kp_weights = args.yolo_model_path
         if args.kp_weights:
             extra["kp_weights"] = args.kp_weights
+            extra["kp_input_size"] = args.kp_input_size
         if args.depth_weights:
             extra["depth_weights"] = args.depth_weights
+            extra["depth_input_size"] = args.depth_input_size
         if not (args.kp_weights and args.depth_weights) \
                 and not args.allow_untrained:
             missing = [
@@ -261,13 +268,18 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=8,
                    help="Images lifted per jitted batch")
     p.add_argument("--yolo_model_path", type=str, default=None,
-                   help="(compat) ignored by the cached backend")
+                   help="Reference-compat alias for --kp-weights with "
+                        "--stage1 jax (ignored by the cached backend)")
     p.add_argument("--kp-weights", type=str, default=None,
                    help="Pretrained keypoint-model weights for --stage1 jax "
                         "(ultralytics YOLO11-pose .pt/.safetensors)")
     p.add_argument("--depth-weights", type=str, default=None,
                    help="Pretrained depth-model weights for --stage1 jax "
                         "(DepthPro .safetensors)")
+    p.add_argument("--kp-input-size", type=int, default=640,
+                   help="Keypoint-model input resolution (upstream 640)")
+    p.add_argument("--depth-input-size", type=int, default=1536,
+                   help="Depth-model input resolution (upstream 1536)")
     p.add_argument("--allow-untrained", action="store_true",
                    help="Permit --stage1 jax with randomly initialized "
                         "networks (outputs are noise; testing only)")

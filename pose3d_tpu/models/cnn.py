@@ -121,9 +121,12 @@ class DotStatsBatchNorm(nn.Module):
                     + (1 - self.momentum) * var
                 )
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.dtype)
+        # normalize in compute dtype like flax BatchNorm (stats stay fp32);
+        # a full-activation fp32 normalize was implicated in TPU-compiler
+        # crashes at full model scale
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(self.dtype)
+        y = (x.astype(self.dtype) - mean.astype(self.dtype)) * inv
+        return y + bias.astype(self.dtype)
 
 
 def _norm(name: str, dtype, param_dtype):

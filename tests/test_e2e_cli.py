@@ -40,8 +40,8 @@ def test_full_pipeline(tmp_path, monkeypatch):
         "pose3d_tpu.stage1.models.JaxStage1", lambda **kw: provider
     )
     processed = tmp_path / "processed"
-    n = pp.main([str(raw), str(processed), "--batch-size", "4",
-                 "--input-size", "64"])
+    n = pp.main([str(raw), str(processed), "--allow-untrained",
+                 "--batch-size", "4", "--input-size", "64"])
     assert n == 12
 
     # --- annotations for the chunker ----------------------------------

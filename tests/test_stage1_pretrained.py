@@ -70,3 +70,52 @@ def test_provider_native_fallback_unchanged():
     r = provider.predict_batch([im])[0]
     assert r.keypoints.shape == (17, 3)
     assert r.depth.shape == (50, 70)
+
+
+def test_infer_cli_with_pretrained_stage1(weight_files, tmp_path):
+    """infer CLI end-to-end with --stage1 jax and ported stage-1 weights:
+    images → YOLO keypoints + DepthPro depth → lifting → .npy joints."""
+    import cv2
+    import jax.numpy as jnp
+
+    from pose3d_tpu.cli import infer as inf
+    from pose3d_tpu.core.config import CNNModelConfig
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    kp_w, depth_w = weight_files
+
+    cfg = CNNModelConfig.from_dict(dict(
+        image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+        initial_channels=8, stage_channels=[8, 16, 16],
+        stage_depths=[1, 1, 1], global_pool_size=2,
+        global_feature_dim=16, regression_dims=[16], in_channels=21,
+    ))
+    model, variables = init_model(cfg, batch_size=1, dtype=jnp.float32)
+    state = create_train_state(model, variables)
+    ckpt = tmp_path / "ck"
+    save_checkpoint(ckpt, state, model_type="cnn",
+                    model_args=cfg.to_dict())
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.integers(0, 255, size=(40, 56, 3), dtype=np.uint8))
+
+    out = tmp_path / "out"
+    n = inf.main([
+        "--checkpoint_path", str(ckpt), "--input_folder", str(img_dir),
+        "--output_folder", str(out), "--stage1", "jax",
+        "--kp-weights", str(kp_w), "--depth-weights", str(depth_w),
+        "--kp-input-size", "64", "--depth-input-size", "64",
+        "--batch-size", "2",
+    ])
+    assert n == 3
+    npys = sorted(out.glob("*_pred_joints3d.npy"))
+    assert len(npys) == 3
+    for f in npys:
+        j = np.load(f)
+        assert j.shape == (17, 3) and np.isfinite(j).all()
