@@ -61,9 +61,14 @@ class DotStatsBatchNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     max_chunk: int = 1 << 16
     # "dot": batched MXU contraction; "pallas": fused one-pass Σx/Σx²
-    # kernel (ops/pallas/bn_stats) — the route that both compiles at full
-    # scale and beats XLA's slow batch-minor-layout reduces.
+    # kernel (ops/pallas/bn_stats). ``pallas_min_pixels``: layers with
+    # fewer than this many spatial positions per sample fall back to plain
+    # XLA reduces — the full-graph TPU-compiler crash (CLAUDE.md) comes
+    # from the SMALLEST late-stage layers, while the big early layers hold
+    # ~97% of the reduce bytes; a per-sample-pixels gate is batch-size
+    # independent.
     stats: str = "dot"
+    pallas_min_pixels: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +89,12 @@ class DotStatsBatchNorm(nn.Module):
             var = ra_var.value
         else:
             n = x.size // C
-            if self.stats == "pallas":
+            pixels = n // x.shape[0]
+            if self.stats == "pallas" and pixels < self.pallas_min_pixels:
+                xf = x.astype(jnp.float32)
+                s1 = xf.sum(axis=tuple(range(x.ndim - 1)))
+                s2 = (xf * xf).sum(axis=tuple(range(x.ndim - 1)))
+            elif self.stats == "pallas":
                 from pose3d_tpu.ops.pallas.bn_stats import bn_stats
 
                 s1, s2 = bn_stats(
@@ -147,10 +157,14 @@ def _norm(name: str, dtype, param_dtype):
                 use_running_average=use_running_average,
                 dtype=dtype, param_dtype=param_dtype,
             )
-        if name == "batch_pallas":
+        if name.startswith("batch_pallas"):
+            # optional threshold suffix: "batch_pallas:2048" applies the
+            # kernel only to layers with ≥ that many pixels per sample
+            min_px = int(name.split(":")[1]) if ":" in name else 0
             return DotStatsBatchNorm(
                 use_running_average=use_running_average,
                 dtype=dtype, param_dtype=param_dtype, stats="pallas",
+                pallas_min_pixels=min_px,
             )
         if name == "batch":
             return nn.BatchNorm(

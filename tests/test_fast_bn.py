@@ -127,3 +127,22 @@ def test_pallas_stats_ragged_rows():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s2), (x * x).sum(0),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_threshold_fallback():
+    """batch_pallas:min_n — below-threshold layers use plain XLA reduces,
+    same numerics."""
+    x = jnp.asarray(rng.normal(0.5, 1.2, size=(4, 6, 6, 8)), jnp.float32)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=jnp.float32)
+    fb = DotStatsBatchNorm(use_running_average=False, dtype=jnp.float32,
+                           stats="pallas", pallas_min_pixels=10 ** 9)
+    rv = ref.init(jax.random.PRNGKey(0), x)
+    fv = fb.init(jax.random.PRNGKey(0), x)
+    ro, rmut = ref.apply(rv, x, mutable=["batch_stats"])
+    fo, fmut = fb.apply(fv, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(ro), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fmut["batch_stats"]["var"]),
+        np.asarray(rmut["batch_stats"]["var"]), rtol=1e-5,
+    )
