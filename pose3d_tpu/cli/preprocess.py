@@ -129,6 +129,9 @@ def build_parser():
     p.add_argument("--allow-untrained", action="store_true",
                    help="Permit running without pretrained stage-1 weights "
                         "(outputs are noise; testing only)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard stage-1 batches over all devices (mesh data "
+                        "axis) — the multi-chip preprocess sweep")
     return p
 
 
@@ -149,10 +152,19 @@ def main(argv=None):
             "artifacts from randomly initialized stage-1 networks. Provide "
             "pretrained weights or pass --allow-untrained."
         )
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from pose3d_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh((len(jax.devices()),), ("data",))
+        logger.info("Data-parallel stage-1 over %s", mesh)
     provider = JaxStage1(
         input_size=args.input_size,
         kp_weights=args.kp_weights,
         depth_weights=args.depth_weights,
+        mesh=mesh,
     )
 
     input_base = Path(args.input_base)

@@ -327,13 +327,25 @@ class NativeKeypointBackend:
         return np.asarray(self._fwd(self.variables, batch))
 
 
+def _data_parallel_jit(fwd, mesh):
+    """jit ``fwd(variables, batch)`` with the batch sharded over the mesh
+    ``data`` axis (replicated params; stage-1 inference is embarrassingly
+    data-parallel — the multi-chip path for the 1M-image preprocess
+    sweep, SURVEY.md §3.3 bottleneck)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(fwd, in_shardings=(repl, sharded))
+
+
 class YoloKeypointBackend:
     """Ported ultralytics YOLO11-pose: letterbox → jitted forward+decode →
     best person → un-letterbox to original normalized coords (the full
     contract of reference infer.py:156-237 with pretrained weights)."""
 
     def __init__(self, weights, input_size: int = 640,
-                 box_conf_threshold: float = 0.25, dtype=None):
+                 box_conf_threshold: float = 0.25, dtype=None, mesh=None):
         from pose3d_tpu.stage1.yolo_port import load_yolo11_pose
 
         self.input_size = input_size
@@ -347,7 +359,9 @@ class YoloKeypointBackend:
             raw = self.model.apply(v, x, train=False)
             return best_person_keypoints(raw, input_size)
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
+                     else jax.jit(fwd))
+        self._pad_multiple = mesh.devices.size if mesh is not None else 1
 
     def predict(self, images: Sequence[np.ndarray]) -> np.ndarray:
         import cv2
@@ -355,7 +369,9 @@ class YoloKeypointBackend:
         from pose3d_tpu.stage1.yolo11 import letterbox_params
 
         s = self.input_size
-        batch = np.full((len(images), s, s, 3), 114 / 255.0, np.float32)
+        m = self._pad_multiple
+        n_rows = -(-len(images) // m) * m  # pad to the mesh data axis
+        batch = np.full((n_rows, s, s, 3), 114 / 255.0, np.float32)
         geoms = []
         for i, im in enumerate(images):
             h, w = im.shape[:2]
@@ -410,10 +426,15 @@ class DepthProBackend:
     (reference infer.py:240-252, preprocess.py:71-81)."""
 
     def __init__(self, weights, input_size: int = 1536,
-                 max_batch: int = 2, dtype=None):
+                 max_batch: int = 2, dtype=None, mesh=None):
         from pose3d_tpu.stage1.depthpro_port import load_depth_pro
 
         self.input_size = input_size
+        if mesh is not None:
+            # every call pads to max_batch, so align it with the mesh
+            n_dev = mesh.devices.size
+            max_batch = max(max_batch, n_dev)
+            max_batch -= max_batch % n_dev
         self.max_batch = max_batch
         self.model, self.variables = load_depth_pro(
             weights, dtype=dtype, image_size=input_size
@@ -430,7 +451,8 @@ class DepthProBackend:
                 ]
             return depth
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
+                     else jax.jit(fwd))
 
     def predict(self, images: Sequence[np.ndarray]):
         import cv2
@@ -498,6 +520,7 @@ class JaxStage1:
         kp_input_size: int = 640,
         depth_input_size: int = 1536,
         dtype=None,
+        mesh=None,
     ):
         self.num_joints = num_joints
         self.input_size = input_size
@@ -509,7 +532,8 @@ class JaxStage1:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if kp_weights:
             self._kp = YoloKeypointBackend(
-                kp_weights, input_size=kp_input_size, dtype=dtype
+                kp_weights, input_size=kp_input_size, dtype=dtype,
+                mesh=mesh,
             )
             if self._kp.num_joints != num_joints:
                 logger.warning(
@@ -522,7 +546,8 @@ class JaxStage1:
             )
         if depth_weights:
             self._depth = DepthProBackend(
-                depth_weights, input_size=depth_input_size, dtype=dtype
+                depth_weights, input_size=depth_input_size, dtype=dtype,
+                mesh=mesh,
             )
         else:
             self._depth = NativeDepthBackend(

@@ -119,3 +119,34 @@ def test_infer_cli_with_pretrained_stage1(weight_files, tmp_path):
     for f in npys:
         j = np.load(f)
         assert j.shape == (17, 3) and np.isfinite(j).all()
+
+
+def test_provider_data_parallel_mesh(weight_files):
+    """Stage-1 backends shard the batch over the mesh data axis — the
+    multi-chip path for the 1M-image preprocess sweep. Must match the
+    single-device outputs."""
+    import jax
+
+    from pose3d_tpu.core.mesh import make_mesh
+    from pose3d_tpu.stage1 import get_stage1_provider
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    kp_w, depth_w = weight_files
+    kw = dict(kp_weights=str(kp_w), depth_weights=str(depth_w),
+              kp_input_size=64, depth_input_size=64)
+    mesh = make_mesh((8,), ("data",))
+    dp = get_stage1_provider("jax", mesh=mesh, **kw)
+    single = get_stage1_provider("jax", **kw)
+
+    rng = np.random.default_rng(7)
+    # 5 images: exercises padding to the 8-wide data axis
+    images = [rng.integers(0, 255, size=(40 + 4 * i, 56, 3),
+                           dtype=np.uint8) for i in range(5)]
+    a = dp.predict_batch(images)
+    b = single.predict_batch(images)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra.keypoints, rb.keypoints,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(ra.depth, rb.depth, rtol=1e-3,
+                                   atol=1e-4)
