@@ -196,3 +196,26 @@ def test_load_yolo11_pose_end_to_end(tmp_path):
         np.transpose(traw[0][2].numpy(), (0, 2, 3, 1)),
         rtol=1e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("scale", ["s", "m", "l"])
+def test_scale_inference_and_structure(scale):
+    """Architecture inference + mapped-tree structure for the other YOLO11
+    scales (no forward — eval_shape only, so even l stays fast)."""
+    import jax.numpy as jnp
+
+    from pose3d_tpu.stage1.yolo_port import (
+        infer_architecture,
+        map_yolo_state_dict,
+        validate_against_model,
+    )
+    from pose3d_tpu.stage1.yolo11 import YOLO11Pose
+
+    torch.manual_seed(3)
+    tmodel = YOLO11PoseTorch(scale=scale)
+    sd = {k: v.detach().float().numpy() for k, v in
+          tmodel.state_dict().items()}
+    got_scale, nc, kpt_shape = infer_architecture(sd)
+    assert (got_scale, nc, kpt_shape) == (scale, 1, (17, 3))
+    jmodel = YOLO11Pose(scale=scale, dtype=jnp.float32)
+    validate_against_model(jmodel, map_yolo_state_dict(sd))
