@@ -117,10 +117,16 @@ def run(args):
     extra = {}
     if args.stage1 == "jax":
         extra["confidence_threshold"] = args.yolo_confidence_threshold
-        if not args.kp_weights and args.yolo_model_path and \
-                Path(args.yolo_model_path).exists():
+        if not args.kp_weights and args.yolo_model_path:
             # drop-in parity: the reference's --yolo_model_path names the
-            # ultralytics checkpoint (infer.py:138); honor it here too
+            # ultralytics checkpoint (infer.py:138); honor it here too.
+            # An explicitly given path that doesn't exist is an error,
+            # NOT a silent fall-through to random-init networks.
+            if not Path(args.yolo_model_path).exists():
+                raise SystemExit(
+                    f"--yolo_model_path {args.yolo_model_path!r} does not "
+                    "exist"
+                )
             args.kp_weights = args.yolo_model_path
         if args.kp_weights:
             extra["kp_weights"] = args.kp_weights

@@ -111,10 +111,19 @@ def extract_chunk(tar_path, cache_dir) -> Path:
         try:
             os.rename(src, chunk_dir)  # atomic on POSIX
         except OSError:
-            # Rename over an existing non-empty dir fails → a concurrent
-            # extractor won the race; its copy is complete by definition.
+            # Rename over an existing non-empty dir fails. Two cases:
+            # a concurrent extractor won the race (its copy is complete
+            # by definition — keep it), or a STALE partial dir without
+            # samples.pkl is in the way (left by a killed run of the old
+            # in-place extractor) — remove it and retry, else the cache
+            # would be permanently poisoned.
             if not (chunk_dir / "samples.pkl").exists():
-                raise
+                shutil.rmtree(chunk_dir, ignore_errors=True)
+                try:
+                    os.rename(src, chunk_dir)
+                except OSError:
+                    if not (chunk_dir / "samples.pkl").exists():
+                        raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return chunk_dir

@@ -664,13 +664,23 @@ class DepthProDepthEstimator(nn.Module):
         return depth, fov
 
 
-def postprocess_depth(canonical_depth, fov_deg, width: int):
+def fov_scaled_inverse_depth(canonical_depth, fov_deg):
+    """FOV calibration of the canonical inverse depth. HF's
+    post_process_depth_estimation computes depth·width/focal with
+    focal = 0.5·width/tan(fov/2) — the width factors cancel, leaving the
+    resolution-independent canonical · 2·tan(fov/2)."""
+    if fov_deg is None:
+        return canonical_depth
+    scale = 2.0 * jnp.tan(0.5 * jnp.deg2rad(fov_deg))
+    return canonical_depth * scale[:, None, None]
+
+
+def postprocess_depth(canonical_depth, fov_deg, width: int = 0):
     """HF post_process_depth_estimation: FOV-calibrated metric depth at
-    network resolution. Resize to the original image size on the host
-    (cv2), as the reference does per image."""
-    if fov_deg is not None:
-        focal = 0.5 * width / jnp.tan(0.5 * jnp.deg2rad(fov_deg))
-        canonical_depth = (
-            canonical_depth * width / focal[:, None, None]
-        )
-    return 1.0 / jnp.clip(canonical_depth, 1e-4, 1e4)
+    network resolution (``width`` kept for signature parity — it cancels,
+    see :func:`fov_scaled_inverse_depth`). Resize to the original image
+    size on the host (cv2), as the reference does per image — resize the
+    INVERSE depth then invert, matching HF's interpolate-then-invert
+    order."""
+    inv = fov_scaled_inverse_depth(canonical_depth, fov_deg)
+    return 1.0 / jnp.clip(inv, 1e-4, 1e4)

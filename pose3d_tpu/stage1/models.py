@@ -311,20 +311,25 @@ class NativeKeypointBackend:
     """KeypointNet over square-resized inputs (trainable native family)."""
 
     def __init__(self, num_joints: int, input_size: int, params=None,
-                 rng=None):
+                 rng=None, mesh=None):
         self.num_joints = num_joints
         self.input_size = input_size
         self.model = KeypointNet(num_joints=num_joints)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
         self.variables = params or self.model.init(rng, dummy, train=False)
-        self._fwd = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)[0]
-        )
+
+        def fwd(v, x):
+            return self.model.apply(v, x, train=False)[0]
+
+        self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
+                     else jax.jit(fwd))
+        self._pad_multiple = mesh.devices.size if mesh is not None else 1
 
     def predict(self, images: Sequence[np.ndarray]) -> np.ndarray:
-        batch = _square_resize_batch(images, self.input_size)
-        return np.asarray(self._fwd(self.variables, batch))
+        batch = _pad_rows(_square_resize_batch(images, self.input_size),
+                          self._pad_multiple)
+        return np.asarray(self._fwd(self.variables, batch))[: len(images)]
 
 
 def _data_parallel_jit(fwd, mesh):
@@ -399,19 +404,26 @@ class YoloKeypointBackend:
 class NativeDepthBackend:
     """DepthNet over square-resized inputs (trainable native family)."""
 
-    def __init__(self, input_size: int, params=None, rng=None):
+    def __init__(self, input_size: int, params=None, rng=None, mesh=None):
         self.input_size = input_size
         self.model = DepthNet()
         rng = rng if rng is not None else jax.random.PRNGKey(1)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
         self.variables = params or self.model.init(rng, dummy, train=False)
-        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+        def fwd(v, x):
+            return self.model.apply(v, x, train=False)
+
+        self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
+                     else jax.jit(fwd))
+        self._pad_multiple = mesh.devices.size if mesh is not None else 1
 
     def predict(self, images: Sequence[np.ndarray]):
         import cv2
 
-        batch = _square_resize_batch(images, self.input_size)
-        depths = np.asarray(self._fwd(self.variables, batch))
+        batch = _pad_rows(_square_resize_batch(images, self.input_size),
+                          self._pad_multiple)
+        depths = np.asarray(self._fwd(self.variables, batch))[: len(images)]
         out = []
         for i, im in enumerate(images):
             h, w = im.shape[:2]
@@ -441,15 +453,13 @@ class DepthProBackend:
         )
 
         def fwd(v, x):
+            from pose3d_tpu.stage1.depthpro import fov_scaled_inverse_depth
+
             depth, fov = self.model.apply(v, x)
-            if fov is not None:
-                # metric scale: canonical · 2·tan(fov/2); the HF
-                # post-process width/focal factors cancel (depthpro.py
-                # postprocess_depth), so this is resolution-independent.
-                depth = depth * 2.0 * jnp.tan(0.5 * jnp.deg2rad(fov))[
-                    :, None, None
-                ]
-            return depth
+            # FOV-calibrated INVERSE depth; inversion happens after the
+            # host resize to original resolution, matching HF's
+            # interpolate-then-invert post-processing order.
+            return fov_scaled_inverse_depth(depth, fov)
 
         self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
                      else jax.jit(fwd))
@@ -482,6 +492,15 @@ class DepthProBackend:
             d = cv2.resize(d, (w, h), interpolation=cv2.INTER_LINEAR)
             results.append(1.0 / np.clip(d, 1e-4, 1e4))
         return results
+
+
+def _pad_rows(batch: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the batch dim up to a multiple (mesh data-axis width) by
+    repeating the last row."""
+    if multiple <= 1 or len(batch) % multiple == 0:
+        return batch
+    pad = multiple - len(batch) % multiple
+    return np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
 
 
 def _square_resize_batch(images: Sequence[np.ndarray], size: int
@@ -542,7 +561,8 @@ class JaxStage1:
                 )
         else:
             self._kp = NativeKeypointBackend(
-                num_joints, input_size, params=keypoint_params, rng=rng
+                num_joints, input_size, params=keypoint_params, rng=rng,
+                mesh=mesh,
             )
         if depth_weights:
             self._depth = DepthProBackend(
@@ -552,7 +572,7 @@ class JaxStage1:
         else:
             self._depth = NativeDepthBackend(
                 input_size, params=depth_params,
-                rng=jax.random.fold_in(rng, 1),
+                rng=jax.random.fold_in(rng, 1), mesh=mesh,
             )
 
     # introspection helpers (native backends only), used by tests and the

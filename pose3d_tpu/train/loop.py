@@ -259,7 +259,15 @@ def train_model(
                         preview = next(val_preview_iter)
                     except StopIteration:
                         val_preview_iter = iter(val_loader)
-                        preview = next(val_preview_iter)
+                        try:
+                            preview = next(val_preview_iter)
+                        except StopIteration:
+                            # empty val loader must fail loudly (round-1
+                            # finding), not escape as a bare StopIteration
+                            raise RuntimeError(
+                                "Validation loader yielded no batches — "
+                                "check --val-chunks / --chunks-dir."
+                            ) from None
                     _, preds = eval_step(
                         state,
                         {
@@ -298,47 +306,56 @@ def train_model(
                             eval_step, state, val_loader,
                             pad_to=getattr(val_loader, "batch_size", None),
                         )
-                        if val:
-                            writer.add_scalar(
-                                "Loss/validation_epoch_avg",
-                                val["total_loss"], global_step,
-                            )
-                            writer.add_scalar(
-                                "Metrics/MPJPE_validation_epoch_avg",
-                                val["mpjpe"], global_step,
-                            )
-                            writer.add_scalar(
-                                "Metrics/PA_MPJPE_validation_epoch_avg",
-                                val["pa_mpjpe"], global_step,
-                            )
-                            for k, v in val.items():
-                                if k not in ("mpjpe", "pa_mpjpe"):
-                                    writer.add_scalar(
-                                        f"Loss_Components_Val/{k}", v, global_step
-                                    )
-                            logger.info(
-                                "Step %d: Val Loss: %.4f, MPJPE: %.2f mm, "
-                                "PA-MPJPE: %.2f mm",
-                                global_step, val["total_loss"],
-                                val["mpjpe"], val["pa_mpjpe"],
-                            )
+                        # evaluate() raises on an empty loader, so val is
+                        # always populated here
+                        writer.add_scalar(
+                            "Loss/validation_epoch_avg",
+                            val["total_loss"], global_step,
+                        )
+                        writer.add_scalar(
+                            "Metrics/MPJPE_validation_epoch_avg",
+                            val["mpjpe"], global_step,
+                        )
+                        writer.add_scalar(
+                            "Metrics/PA_MPJPE_validation_epoch_avg",
+                            val["pa_mpjpe"], global_step,
+                        )
+                        for k, v in val.items():
+                            if k not in ("mpjpe", "pa_mpjpe"):
+                                writer.add_scalar(
+                                    f"Loss_Components_Val/{k}", v, global_step
+                                )
+                        logger.info(
+                            "Step %d: Val Loss: %.4f, MPJPE: %.2f mm, "
+                            "PA-MPJPE: %.2f mm",
+                            global_step, val["total_loss"],
+                            val["mpjpe"], val["pa_mpjpe"],
+                        )
                     save_checkpoint(
                         f"{checkpoint_prefix}_{model_type}_step_{global_step}",
                         state, model_type, model_args,
                     )
                     last_ckpt_step = global_step
+                    # preview/eval/checkpoint time must not pollute the
+                    # next Perf/* window (it would inflate step_time_ms
+                    # ~100x at eval steps)
+                    window_t0 = time.perf_counter()
+                elif global_step % preview_interval_steps == 0:
+                    window_t0 = time.perf_counter()
     except KeyboardInterrupt:
         logger.warning(
             "Interrupted at step %d — saving final checkpoint.", global_step
         )
-    _flush_metrics()
-    # Final checkpoint: a run whose num_steps is not a multiple of the eval
-    # interval must not lose everything since the last periodic save
-    # (round-1 finding).
-    if global_step > last_ckpt_step:
-        save_checkpoint(
-            f"{checkpoint_prefix}_{model_type}_step_{global_step}",
-            state, model_type, model_args,
-        )
-    writer.flush()
+    finally:
+        # Any exit path — clean, interrupt, or crash (remote-TPU timeout,
+        # decode error, eval raise) — must flush metrics and preserve
+        # progress since the last periodic save (round-1 finding; a crash
+        # AT the eval step would otherwise lose eval_interval-1 steps).
+        _flush_metrics()
+        if global_step > last_ckpt_step:
+            save_checkpoint(
+                f"{checkpoint_prefix}_{model_type}_step_{global_step}",
+                state, model_type, model_args,
+            )
+        writer.flush()
     return state, global_step

@@ -203,3 +203,25 @@ def test_splitter_resume_skips_done(raw_and_chunks, tmp_path):
     )
     c2 = sp2.run()
     assert c2 == c1  # nothing re-processed, counters unchanged
+
+
+def test_extract_recovers_from_stale_partial_dir(raw_and_chunks, tmp_path):
+    """A partial chunk dir without samples.pkl (killed run of the old
+    in-place extractor) must be replaced, not poison the cache forever
+    (review finding)."""
+    from pose3d_tpu.data.chunks import extract_chunk, chunk_id_from_filename
+
+    _, chunks_dir = raw_and_chunks
+    tar = sorted(chunks_dir.glob("human36m_chunk_*.tar.gz"))[0]
+    cache = tmp_path / "stale_cache"
+    cid = chunk_id_from_filename(tar)
+    stale = cache / f"chunk_{cid:06d}" / "data" / "000000"
+    stale.mkdir(parents=True)
+    (stale / "junk.bin").write_bytes(b"partial")
+
+    out = extract_chunk(tar, cache)
+    assert (out / "samples.pkl").exists()
+    assert not (out / "data" / "000000" / "junk.bin").exists() or (
+        out / "samples.pkl").exists()
+    # second call is a cheap cache hit
+    assert extract_chunk(tar, cache) == out

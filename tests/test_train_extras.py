@@ -208,3 +208,51 @@ def test_evaluate_exact_with_ragged_tail():
     )
     exact = float(mpjpe_fn(np.asarray(preds), samples["joints_3d"]))
     np.testing.assert_allclose(got["mpjpe"], exact, rtol=1e-4)
+
+
+def test_empty_val_loader_raises_at_preview(tmp_path):
+    """An empty validation loader must fail with a clear RuntimeError at
+    the first preview step, not escape as a bare StopIteration (review
+    finding on the round-1 empty-validation guard)."""
+    import os
+
+    import pytest
+
+    from helpers_synthetic import make_synthetic_dataset
+    from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.loop import train_model
+    from tests.test_train import TINY
+
+    root = tmp_path / "chunks"
+    make_synthetic_dataset(root, num_chunks=1, num_samples=6,
+                           image_hw=(32, 32), prefix="train")
+    train_ds = StreamingChunkedDataset(
+        "train", str(root), image_size=(32, 32),
+        cache_dir=tmp_path / "cache", decode_workers=2,
+    )
+    train_loader = BatchLoader(train_ds, batch_size=2, loop=True)
+
+    class EmptyLoader:
+        batch_size = 2
+
+        def __iter__(self):
+            return iter(())
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables)
+    os.chdir(tmp_path)
+    with pytest.raises(RuntimeError, match="no batches"):
+        train_model(
+            state, "cnn", train_loader, EmptyLoader(),
+            model=model, model_args=TINY.to_dict(),
+            gradient_accumulation_steps=1,
+            num_steps=2, eval_interval_steps=1000,
+            preview_interval_steps=1,
+            checkpoint_prefix=str(tmp_path / "ck_empty"),
+        )
+    # the crash path must still have preserved progress (finally-save)
+    import glob
+
+    assert glob.glob(str(tmp_path / "ck_empty_cnn_step_*"))
