@@ -228,18 +228,29 @@ def _sharded_bwd(interpret: bool):
     return bwd
 
 
+def _multi_device() -> bool:
+    """Route through the custom_partitioning wrapper only when a mesh can
+    actually exist — on a single device the direct kernel is the proven
+    path and avoids the partitioner's extra lowering machinery."""
+    return len(jax.devices()) > 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, interpret):
-    return _sharded_fwd(interpret)(q, k, v)
+    if _multi_device():
+        return _sharded_fwd(interpret)(q, k, v)
+    return _fwd_impl(q, k, v, interpret)
 
 
 def _flash_fwd(q, k, v, interpret):
-    return _sharded_fwd(interpret)(q, k, v), (q, k, v)
+    return _flash_attention(q, k, v, interpret), (q, k, v)
 
 
 def _flash_bwd(interpret, residuals, g):
     q, k, v = residuals
-    return _sharded_bwd(interpret)(q, k, v, g)
+    if _multi_device():
+        return _sharded_bwd(interpret)(q, k, v, g)
+    return _bwd_impl(q, k, v, g, interpret)
 
 
 def _bwd_impl(q, k, v, g, interpret):
