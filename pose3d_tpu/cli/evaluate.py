@@ -80,7 +80,8 @@ def run(args) -> dict:
         attention_backend=args.attention_backend,
     )
     state = create_train_state(model, variables)
-    state, step = restore_train_state(state, args.checkpoint)
+    state, _ = restore_train_state(state, args.checkpoint)
+    step = int(meta.get("step", 0))
     logger.info("Evaluating %s checkpoint %s (step %d)",
                 model_type, args.checkpoint, step)
 
