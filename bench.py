@@ -1,19 +1,21 @@
-"""Benchmark: full-size CNN lifter TRAIN STEP throughput on the real chip.
-
-Prints ONE JSON line:
+"""Benchmark: framework perf surface on the real chip, ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Primary metric: effective images/sec of one optimizer step at the
 reference's exact training configuration — batch 10 × grad-accum 10
 (/root/reference/src/config.py:7-8), full 500×500 21-channel CNN — i.e.
-the workload that dominates the reference's 1–3 day training runs.
+the workload that dominates the reference's 1–3 day training runs. Since
+round 3 the step uses ghost-BatchNorm accumulation (train/step.py
+accum_mode="ghost"): one batch-100 XLA program whose BatchNorm statistics
+are computed per group of 10, proven equivalent to the sequential
+accumulation loop by tests/test_ghost_accum.py.
 
 Method: the train step consumes the whole [A=10, B=10, ...] superbatch in
-one jitted scan (accumulate → update on-device). K steps are chained
-through the donated train state with a single device→host readback at the
-end. On this environment's remote-TPU tunnel, per-call dispatch costs
-~30 ms and block_until_ready does not actually synchronize, so the
-trailing readback is the only honest clock (CLAUDE.md gotchas).
+one jitted program. K steps are chained through the donated train state
+with a single device→host readback at the end. On this environment's
+remote-TPU tunnel, per-call dispatch costs ~30 ms and block_until_ready
+does not actually synchronize, so the trailing readback is the only honest
+clock (CLAUDE.md gotchas).
 
 vs_baseline basis (BASELINE.md): the reference publishes no images/sec.
 Its documented training scale is ~870,000 images per epoch (8,700
@@ -22,9 +24,11 @@ optimizer steps × effective batch 100, report.pdf §5.1 footnote 2) at
 reading — one full epoch per day — gives 870,000 / 86,400 s ≈ 10.07
 images/sec. vs_baseline = value / 10.07.
 
-Secondary metrics in "extra": train step at batch 100×1 (accumulation-free
-variant) and the forward-only pass at batch 10 (round-1 metric, for
-continuity with BENCH_r01.json).
+Secondary metrics in "extra" (VERDICT.md round-2 item 7 — the full perf
+surface in one record): the sequential-scan accumulation variant (the
+round-2 headline path, for continuity), batch 100×1, forward-only b10,
+the ViT-B train step (Pallas attention), and the stage-1 YOLO11x-pose /
+DepthPro full-topology sweeps.
 """
 
 from __future__ import annotations
@@ -58,7 +62,8 @@ def _device_batch(accum: int, batch: int, size: int = 500, joints: int = 17):
 
 
 def bench_train(model, variables, accum: int, batch: int,
-                warmup: int = 3, reps: int = 5) -> float:
+                warmup: int = 3, reps: int = 5,
+                accum_mode: str = "ghost", size: int = 500) -> float:
     """Images/sec of the full train step (fwd+bwd+accum+optimizer)."""
     import jax
 
@@ -70,8 +75,8 @@ def bench_train(model, variables, accum: int, batch: int,
         lambda x: jax.numpy.array(x, copy=True), variables
     )
     state = create_train_state(model, variables)
-    step = make_train_step(model, donate=True)
-    superbatch = _device_batch(accum, batch)
+    step = make_train_step(model, donate=True, accum_mode=accum_mode)
+    superbatch = _device_batch(accum, batch, size=size)
     key = jax.device_put(jax.random.PRNGKey(0))
 
     def run(k):
@@ -113,10 +118,88 @@ def bench_forward(model, variables, batch: int = 10, k: int = 20,
     return batch * reps * k / (time.perf_counter() - t0)
 
 
+def bench_vit_train(batch: int = 8, warmup: int = 3, reps: int = 5) -> float:
+    """ViT-B lifter train-step latency (ms) at batch 8, Pallas attention."""
+    from pose3d_tpu.core.config import TransformerModelConfig
+    from pose3d_tpu.models import init_model
+
+    cfg = TransformerModelConfig()  # 512×512, ViT-B/16, fusion + final enc
+    model, variables = init_model(cfg, batch_size=batch)
+    imgs_per_sec = bench_train(
+        model, variables, accum=1, batch=batch,
+        warmup=warmup, reps=reps, size=cfg.image_size[0],
+    )
+    return batch / imgs_per_sec * 1e3  # ms/step
+
+
+def bench_yolo(batch: int = 8, reps: int = 5) -> float:
+    """YOLO11x-pose full-topology forward+decode images/sec @640."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.stage1.yolo11 import YOLO11Pose, best_person_keypoints
+
+    model = YOLO11Pose(scale="x", dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.uniform(size=(batch, 640, 640, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(v, x):
+        return best_person_keypoints(model.apply(v, x, train=False), 640)
+
+    np.asarray(fwd(variables, x)[0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(fwd(variables, x)[0])
+    return batch * reps / (time.perf_counter() - t0)
+
+
+def bench_depthpro(batch: int = 2, reps: int = 3) -> float:
+    """DepthPro full-topology (3×ViT-L) forward images/sec @1536."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.stage1.depthpro import DepthProArch, DepthProDepthEstimator
+
+    model = DepthProDepthEstimator(arch=DepthProArch(), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.normal(size=(batch, 1536, 1536, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(v, x):
+        depth, fov = model.apply(v, x)
+        return depth.mean(), fov
+
+    np.asarray(fwd(variables, x)[0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(fwd(variables, x)[0])
+    return batch * reps / (time.perf_counter() - t0)
+
+
 def main():
+    import os
+
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
 
     apply_tpu_workarounds()
+
+    # Persistent compile cache: repeat bench runs skip the ~40 s per-program
+    # TPU compiles (harmless if the backend declines to cache).
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("POSE3D_COMPILE_CACHE", "/tmp/jax_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from pose3d_tpu.core.config import CNNModelConfig
     from pose3d_tpu.models import init_model
@@ -125,8 +208,27 @@ def main():
     model, variables = init_model(cfg, batch_size=10)
 
     train_ref = bench_train(model, variables, accum=10, batch=10)
-    train_b100 = bench_train(model, variables, accum=1, batch=100)
-    fwd_b10 = bench_forward(model, variables, batch=10)
+    extra = {}
+    for name, fn in [
+        ("train_step_scan_10x10_images_per_sec",
+         lambda: bench_train(model, variables, accum=10, batch=10,
+                             accum_mode="scan", reps=3)),
+        ("train_step_b100x1_images_per_sec",
+         lambda: bench_train(model, variables, accum=1, batch=100)),
+        ("forward_b10_images_per_sec",
+         lambda: bench_forward(model, variables, batch=10)),
+        ("vit_train_step_b8_ms", bench_vit_train),
+        ("yolo11x_pose_640_b8_images_per_sec", bench_yolo),
+        ("depthpro_1536_b2_images_per_sec", bench_depthpro),
+    ]:
+        try:
+            extra[name] = round(fn(), 2)
+        except Exception as e:  # record, don't sink the primary metric
+            extra[name] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
+    extra["baseline_basis"] = (
+        "reference: 870k imgs/epoch at best 1 day/epoch "
+        "= 10.07 img/s (BASELINE.md)"
+    )
 
     print(
         json.dumps(
@@ -135,14 +237,7 @@ def main():
                 "value": round(train_ref, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(train_ref / BASELINE_IMGS_PER_SEC, 2),
-                "extra": {
-                    "train_step_b100x1_images_per_sec": round(train_b100, 2),
-                    "forward_b10_images_per_sec": round(fwd_b10, 2),
-                    "baseline_basis": (
-                        "reference: 870k imgs/epoch at best 1 day/epoch "
-                        "= 10.07 img/s (BASELINE.md)"
-                    ),
-                },
+                "extra": extra,
             }
         )
     )

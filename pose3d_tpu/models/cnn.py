@@ -102,14 +102,21 @@ class DotStatsBatchNorm(nn.Module):
                     jax.default_backend() != "tpu",  # interpret off-TPU
                 )
             else:
-                # chunk the contraction dim (compiler limit, docstring)
+                # chunk the contraction dim (compiler limit, docstring);
+                # zero-pad up to a multiple of the chunk size — zeros do
+                # not perturb the Σx/Σx² sums, and padding keeps the chunk
+                # near max_chunk even when n has no convenient divisor
+                # (a prime n would otherwise degenerate to contraction
+                # dim 1).
                 nb = max(1, -(-n // self.max_chunk))
-                while n % nb and nb < n:
-                    nb += 1
-                x3 = x.reshape(nb, n // nb, C).astype(self.dtype)
+                chunk = -(-n // nb)
+                x2 = x.reshape(n, C).astype(self.dtype)
+                if nb * chunk != n:
+                    x2 = jnp.pad(x2, ((0, nb * chunk - n), (0, 0)))
+                x3 = x2.reshape(nb, chunk, C)
                 # E[x] as a batched rank-1 MXU contraction; E[x²] as a
                 # self-inner product per channel (one pass over x each).
-                ones = jnp.ones((nb, 1, n // nb), self.dtype)
+                ones = jnp.ones((nb, 1, chunk), self.dtype)
                 dims = (((2,), (1,)), ((0,), (0,)))
                 s1 = jax.lax.dot_general(
                     ones, x3, dimension_numbers=dims,

@@ -6,17 +6,34 @@ tokens (1 CLS + 1024 image + 16 heatmap patches) with head_dim 48-64, and
 the cross-modal fusion blocks attend between 1024 image and 16 heatmap
 tokens. At these sizes one (batch, head) attention instance fits entirely
 in VMEM (seq padded to 1152: Q/K/V ≈ 3×1152×64×2 B ≈ 0.4 MB, scores 1152²
-fp32 ≈ 5.3 MB < 16 MB), so no online-softmax tiling is needed: the kernel
-fuses QKᵀ → masked softmax → PV in a single VMEM-resident program per
-(b, h) — the [Tq, Tk] score matrix never touches HBM, which is the entire
-win over the unfused path at these shapes.
+fp32 ≈ 5.3 MB), so no online-softmax tiling is needed: the kernel fuses
+QKᵀ → masked softmax → PV in a single VMEM-resident program per (b, h) —
+the [Tq, Tk] score matrix never touches HBM, which is the entire win over
+the unfused path at these shapes.
+
+v2 (round 3): the kernel is VPU-bound — per grid step the MXU work is
+~2 µs while the fp32 elementwise passes over the [Tq, Tk] score matrix
+dominate — so v2 is an elementwise diet plus an MXU dtype fix:
+
+  * the 1/√d scale is folded into the exp argument
+    (``exp((s−m)·scale)``), deleting a full [Tq, Tk] multiply pass;
+  * the softmax division is deferred to the [Tq, D] output
+    (``o = (E·V)/denom``), deleting a [Tq, Tk] divide pass (18× smaller
+    domain at D=64);
+  * the forward stores per-row log-sum-exp, so the backward recomputes
+    probabilities with ONE exp pass (``p = exp(s·scale − lse)``) instead
+    of max → exp → sum → div, and uses δ = rowsum(dO∘O) (a [Tq, D]
+    reduction) instead of rowsum(dP∘P) (a [Tq, Tk] one);
+  * backward matmuls take input-dtype (bf16 in the models) operands with
+    fp32 MXU accumulation — v1 upcast everything to fp32, putting all
+    five backward matmuls on the slow fp32 MXU path.
 
 Supports self- and cross-attention (independent query/key lengths) and is
-differentiable through a fused backward kernel that recomputes the
-probabilities flash-style instead of storing them.
+differentiable through the fused backward kernel.
 
-Measured (TPU v5e, full 512×512 transformer config, batch 8): 38.4 ms
-forward vs 44.6 ms for the XLA einsum path, and ~3× faster XLA compile.
+Measured (TPU v5e, ViT-B lifter, batch 8, 512×512): train step 124.5 ms
+with v1 → see README for v2; v1 forward 38.4 ms vs 44.6 ms XLA einsum
+(XLA attention OOMs in training at b8).
 """
 
 from __future__ import annotations
@@ -29,83 +46,95 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    # refs: [1, 1, T, D] blocks for one (batch, head) — (T, D) are the
-    # trailing dims to satisfy the (8, 128) tile-divisibility rule.
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    Tk = k.shape[0]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                 kv_len: int):
+    # refs: [1, HB, T, D] blocks — one batch element, HB heads per grid
+    # step ((T, D) trailing to satisfy the (8, 128) tile rule). The
+    # unrolled head loop lets Mosaic interleave head i's MXU matmuls with
+    # head i±1's VPU softmax passes, which a 1-head grid step cannot.
+    Tk = k_ref.shape[2]
+    for h in range(q_ref.shape[1]):
+        q = q_ref[0, h, :, :]
+        k = k_ref[0, h, :, :]
+        v = v_ref[0, h, :, :]
 
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                               # [Tq, Tk] fp32
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [Tq, Tk] fp32
 
-    if kv_len < Tk:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
+        if kv_len < Tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # scale folded into the exp argument: one fused elementwise pass
+        # (masked columns stay exp(-inf)=0).
+        e = jnp.exp((s - m) * scale)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
 
-    o = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / denom)                                   # [Tq, D]
+        o_ref[0, h, :, :] = o.astype(o_ref.dtype)
+        # lse block is [1, HB, Tq, 1]: Mosaic requires the last two block
+        # dims divisible by (8, 128) or equal to the array dims — a
+        # rank-3 [1, HB, Tq] block fails; the trailing unit dim
+        # satisfies the rule exactly.
+        lse_ref[0, h, :, :] = m * scale + jnp.log(denom)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale: float, kv_len: int):
-    """Fused backward: recompute P (flash-style, no stored score matrix)
-    then dV = Pᵀ dO; dS = P ∘ (dO Vᵀ − rowsum(dO Vᵀ ∘ P));
-    dQ = dS K·s; dK = dSᵀ Q·s — all VMEM-resident per (batch, head)."""
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
-    Tk = k.shape[0]
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int):
+    """Fused backward: p recomputed from the stored LSE in one exp pass;
+    δ = rowsum(dO∘O) on the [Tq, D] domain; dV = Pᵀ dO;
+    dS = P ∘ (dO Vᵀ − δ); dQ = dS K·s; dK = dSᵀ Q·s — VMEM-resident per
+    (batch, head), matmuls in the input dtype with fp32 accumulation."""
+    Tk = k_ref.shape[2]
+    for h in range(q_ref.shape[1]):
+        q = q_ref[0, h, :, :]
+        k = k_ref[0, h, :, :]
+        v = v_ref[0, h, :, :]
+        o = o_ref[0, h, :, :].astype(jnp.float32)
+        do = do_ref[0, h, :, :]
+        lse = lse_ref[0, h, :, :]                           # [Tq, 1]
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    if kv_len < Tk:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [Tq, Tk] fp32
+        delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1)  # [Tq]
 
-    dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(
-        ds, k.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_len < Tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        p = jnp.exp(s * scale - lse)                        # [Tq, Tk] fp32
 
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [Tq, Tk] fp32
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        dq_ref[0, h, :, :] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h, :, :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h, :, :] = dv.astype(dv_ref.dtype)
 
 
 def _pad_to(x, Tp):
@@ -121,39 +150,117 @@ def _round_up(t):
     return -(-t // 128) * 128
 
 
-def _specs(Tqp, Tkp, D):
-    qspec = pl.BlockSpec(
-        (1, 1, Tqp, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+def _spec(HB, Tp, D):
+    return pl.BlockSpec(
+        (1, HB, Tp, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
     )
-    kspec = pl.BlockSpec(
-        (1, 1, Tkp, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+
+
+def _lse_spec(HB, Tqp):
+    return pl.BlockSpec(
+        (1, HB, Tqp, 1), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
     )
-    return qspec, kspec
+
+
+def _head_block(H, Tqp, Tkp, live: int):
+    """Heads per grid step: the largest divisor of H (≤4) whose live fp32
+    score matrices (``live`` of them per head: the unrolled heads get
+    software-pipelined, so they don't share buffers) fit the VMEM budget.
+    More heads per step amortize fixed per-step cost and let Mosaic
+    overlap one head's MXU matmuls with another's VPU softmax."""
+    for hb in (4, 3, 2, 1):
+        if H % hb == 0 and hb * live * Tqp * Tkp * 4 <= _VMEM_BUDGET:
+            return hb
+    return 1
+
+
+# v5e VMEM is 128 MiB/core; Mosaic's default *scoped* limit is 16 MiB, so
+# kernels whose live score matrices exceed it must raise the cap
+# explicitly (observed: HB=4 fwd at T=1152 needs 28.5 MiB on stack).
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _vmem_params(HB, Tqp, Tkp, live: int):
+    need = HB * live * Tqp * Tkp * 4 + 8 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(_VMEM_BUDGET + 16 * 1024 * 1024, need * 2)
+    )
 
 
 def _fwd_impl(q, k, v, interpret):
+    """Returns (o [B,Tq,H,Dv], lse [B,H,Tqp]). v's head depth may differ
+    from q/k's (the YOLO PSA attention has key_dim = head_dim/2)."""
     B, Tq, H, D = q.shape
-    Tk = k.shape[1]
+    Tk, Dv = k.shape[1], v.shape[-1]
     scale = 1.0 / (D ** 0.5)
     Tqp, Tkp = _round_up(Tq), _round_up(Tk)
     qt = _pad_to(q, Tqp)
     kt = _pad_to(k, Tkp)
     vt = _pad_to(v, Tkp)
-    qspec, kspec = _specs(Tqp, Tkp, D)
-    out = pl.pallas_call(
+    HB = _head_block(H, Tqp, Tkp, live=2)
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, kv_len=Tk),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tqp, D), q.dtype),
-        grid=(B, H),
-        in_specs=[qspec, kspec, kspec],
-        out_specs=qspec,
+        compiler_params=_vmem_params(HB, Tqp, Tkp, live=2),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tqp, Dv), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tqp, 1), jnp.float32),
+        ),
+        grid=(B, H // HB),
+        in_specs=[_spec(HB, Tqp, D), _spec(HB, Tkp, D), _spec(HB, Tkp, Dv)],
+        out_specs=(_spec(HB, Tqp, Dv), _lse_spec(HB, Tqp)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * H * Tqp * Tkp * D,
-            bytes_accessed=(2 * Tqp + 2 * Tkp) * B * H * D * q.dtype.itemsize,
+            flops=2 * B * H * Tqp * Tkp * (D + Dv),
+            bytes_accessed=(
+                B * H * (Tqp * (D + Dv) + Tkp * (D + Dv)) * q.dtype.itemsize
+            ),
             transcendentals=B * H * Tqp * Tkp,
         ),
     )(qt, kt, vt)
-    return jnp.transpose(out, (0, 2, 1, 3))[:, :Tq]
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :Tq], lse[..., 0]
+
+
+def _bwd_impl(q, k, v, o, do, lse, interpret):
+    B, Tq, H, D = q.shape
+    Tk, Dv = k.shape[1], v.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+    Tqp, Tkp = _round_up(Tq), _round_up(Tk)
+    qt = _pad_to(q, Tqp)
+    kt = _pad_to(k, Tkp)
+    vt = _pad_to(v, Tkp)
+    ot = _pad_to(o, Tqp)
+    dot_ = _pad_to(do, Tqp)
+    lse4 = lse[..., None]                                   # [B, H, Tqp, 1]
+    # Padded Q rows carry lse=0 ⇒ p=exp(0·scale−0)=1 there, but their dO
+    # rows are zero-padded so every gradient contribution vanishes.
+    HB = _head_block(H, Tqp, Tkp, live=3)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, kv_len=Tk),
+        compiler_params=_vmem_params(HB, Tqp, Tkp, live=3),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tkp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tkp, Dv), q.dtype),
+        ),
+        grid=(B, H // HB),
+        in_specs=[_spec(HB, Tqp, D), _spec(HB, Tkp, D), _spec(HB, Tkp, Dv),
+                  _spec(HB, Tqp, Dv), _spec(HB, Tqp, Dv), _lse_spec(HB, Tqp)],
+        out_specs=(_spec(HB, Tqp, D), _spec(HB, Tkp, D), _spec(HB, Tkp, Dv)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tqp * Tkp * (2 * D + 3 * Dv),
+            bytes_accessed=(
+                B * H * (3 * Tqp * (D + Dv) + Tkp * (2 * D + 2 * Dv))
+                * q.dtype.itemsize
+            ),
+            transcendentals=B * H * Tqp * Tkp,
+        ),
+    )(qt, kt, vt, ot, dot_, lse4)
+    untq = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :Tq]  # noqa: E731
+    untk = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :Tk]  # noqa: E731
+    return untq(dq), untk(dk), untk(dv)
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +283,16 @@ def _proj_bh(mesh, spec):
     return NamedSharding(mesh, P(get(0), None, get(2), None))
 
 
+def _proj_lse(mesh, spec):
+    """LSE is [B, H, Tq]: batch/head mesh axes from the [B,T,H,D] q spec."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def get(i):
+        return spec[i] if spec is not None and i < len(spec) else None
+
+    return NamedSharding(mesh, P(get(0), get(2), None))
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_fwd(interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -186,16 +303,17 @@ def _sharded_fwd(interpret: bool):
 
     def partition(mesh, arg_shapes, result_shape):
         qs = _proj_bh(mesh, arg_shapes[0].sharding.spec)
+        ls = _proj_lse(mesh, arg_shapes[0].sharding.spec)
 
         def lower(q, k, v):
             return _fwd_impl(q, k, v, interpret)
 
-        return mesh, lower, qs, (qs, qs, qs)
+        return mesh, lower, (qs, ls), (qs, qs, qs)
 
     fwd.def_partition(
         partition=partition,
-        sharding_rule="b tq h d, b tk h d, b tk h d -> b tq h d",
-        need_replication_factors=("tq", "d", "tk"),
+        sharding_rule="b tq h d, b tk h d, b tk h dv -> b tq h dv, b h tqp",
+        need_replication_factors=("tq", "d", "tk", "dv", "tqp"),
     )
     return fwd
 
@@ -205,82 +323,124 @@ def _sharded_bwd(interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     @custom_partitioning
-    def bwd(q, k, v, g):
-        return _bwd_impl(q, k, v, g, interpret)
+    def bwd(q, k, v, o, g, lse):
+        return _bwd_impl(q, k, v, o, g, lse, interpret)
 
     def partition(mesh, arg_shapes, result_shape):
         qs = _proj_bh(mesh, arg_shapes[0].sharding.spec)
         ks = _proj_bh(mesh, arg_shapes[1].sharding.spec)
+        ls = _proj_lse(mesh, arg_shapes[0].sharding.spec)
 
-        def lower(q, k, v, g):
-            return _bwd_impl(q, k, v, g, interpret)
+        def lower(q, k, v, o, g, lse):
+            return _bwd_impl(q, k, v, o, g, lse, interpret)
 
-        return mesh, lower, (qs, ks, ks), (qs, ks, ks, qs)
+        return mesh, lower, (qs, ks, ks), (qs, ks, ks, qs, qs, ls)
 
     bwd.def_partition(
         partition=partition,
         sharding_rule=(
-            "b tq h d, b tk h d, b tk h d, b tq h d "
-            "-> b tq h d, b tk h d, b tk h d"
+            "b tq h d, b tk h d, b tk h dv, b tq h dv, b tq h dv, b h tqp "
+            "-> b tq h d, b tk h d, b tk h dv"
         ),
-        need_replication_factors=("tq", "d", "tk"),
+        need_replication_factors=("tq", "d", "tk", "dv", "tqp"),
     )
     return bwd
 
 
+def _flatten_leading(x, batched, axis_size):
+    """[G, B, ...] → [G·B, ...], broadcasting unbatched args first."""
+    if not batched:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    return x.reshape((-1,) + x.shape[2:])
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd_vmappable(interpret: bool):
+    """custom_vmap wrapper: the custom_partitioning primitive has no
+    batching rule, so under ``vmap`` (the ghost-BN train step vmaps the
+    whole loss over accumulation groups, train/step.py) the mapped group
+    axis is flattened into the kernel's batch axis — ONE bigger kernel
+    call, which is also the fastest execution of the batched op."""
+    from jax.custom_batching import custom_vmap
+
+    inner = _sharded_fwd(interpret)
+
+    @custom_vmap
+    def fwd(q, k, v):
+        return inner(q, k, v)
+
+    @fwd.def_vmap
+    def _rule(axis_size, in_batched, q, k, v):  # noqa: ANN001
+        args = [
+            _flatten_leading(x, b, axis_size)
+            for x, b in zip((q, k, v), in_batched)
+        ]
+        o, lse = inner(*args)
+        o = o.reshape((axis_size, -1) + o.shape[1:])
+        lse = lse.reshape((axis_size, -1) + lse.shape[1:])
+        return (o, lse), (True, True)
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd_vmappable(interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    inner = _sharded_bwd(interpret)
+
+    @custom_vmap
+    def bwd(q, k, v, o, g, lse):
+        return inner(q, k, v, o, g, lse)
+
+    @bwd.def_vmap
+    def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+        flat = [
+            _flatten_leading(x, b, axis_size)
+            for x, b in zip(args, in_batched)
+        ]
+        outs = inner(*flat)
+        outs = tuple(
+            x.reshape((axis_size, -1) + x.shape[1:]) for x in outs
+        )
+        return outs, (True, True, True)
+
+    return bwd
+
+
 def _multi_device() -> bool:
-    """Route through the custom_partitioning wrapper only when a mesh can
-    actually exist — on a single device the direct kernel is the proven
-    path and avoids the partitioner's extra lowering machinery."""
+    """Route through the custom_partitioning wrapper whenever more than one
+    device exists (a mesh *may* be in play — custom_partitioning is how the
+    kernel stays legal under GSPMD); with exactly one device the direct
+    kernel skips the partitioner's extra lowering machinery. Note this
+    gates on device count, not on an actual sharding context: multi-device
+    hosts (e.g. the 8-device virtual CPU test mesh) always take the
+    wrapper, which is exercised by tests/test_flash_attention_tensor_parallel."""
     return len(jax.devices()) > 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, interpret):
     if _multi_device():
-        return _sharded_fwd(interpret)(q, k, v)
-    return _fwd_impl(q, k, v, interpret)
+        o, _ = _sharded_fwd_vmappable(interpret)(q, k, v)
+        return o
+    o, _ = _fwd_impl(q, k, v, interpret)
+    return o
 
 
 def _flash_fwd(q, k, v, interpret):
-    return _flash_attention(q, k, v, interpret), (q, k, v)
+    if _multi_device():
+        o, lse = _sharded_fwd_vmappable(interpret)(q, k, v)
+    else:
+        o, lse = _fwd_impl(q, k, v, interpret)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, o, lse = residuals
     if _multi_device():
-        return _sharded_bwd(interpret)(q, k, v, g)
-    return _bwd_impl(q, k, v, g, interpret)
-
-
-def _bwd_impl(q, k, v, g, interpret):
-    B, Tq, H, D = q.shape
-    Tk = k.shape[1]
-    scale = 1.0 / (D ** 0.5)
-    Tqp, Tkp = _round_up(Tq), _round_up(Tk)
-    qt = _pad_to(q, Tqp)
-    kt = _pad_to(k, Tkp)
-    vt = _pad_to(v, Tkp)
-    gt = _pad_to(g, Tqp)
-    qspec, kspec = _specs(Tqp, Tkp, D)
-    qshape = jax.ShapeDtypeStruct((B, H, Tqp, D), q.dtype)
-    kshape = jax.ShapeDtypeStruct((B, H, Tkp, D), q.dtype)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, kv_len=Tk),
-        out_shape=(qshape, kshape, kshape),
-        grid=(B, H),
-        in_specs=[qspec, kspec, kspec, qspec],
-        out_specs=(qspec, kspec, kspec),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * B * H * Tqp * Tkp * D,
-            bytes_accessed=(4 * Tqp + 3 * Tkp) * B * H * D * q.dtype.itemsize,
-            transcendentals=B * H * Tqp * Tkp,
-        ),
-    )(qt, kt, vt, gt)
-    untq = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :Tq]  # noqa: E731
-    untk = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :Tk]  # noqa: E731
-    return untq(dq), untk(dk), untk(dv)
+        return _sharded_bwd_vmappable(interpret)(q, k, v, o, g, lse)
+    return _bwd_impl(q, k, v, o, g, lse, interpret)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -293,7 +453,8 @@ def flash_attention(q, k, v, interpret: bool = False):
     Supports cross-attention (k/v sequence length may differ from q's).
     Pads sequences up to multiples of 128 (masked) and runs one fused
     VMEM-resident attention per (batch, head); differentiable via a fused
-    backward kernel. Returns [B, Tq, H, D] in the input dtype; softmax in
-    fp32.
+    backward kernel that recomputes probabilities from the forward's
+    stored log-sum-exp. Returns [B, Tq, H, D] in the input dtype; softmax
+    in fp32.
     """
     return _flash_attention(q, k, v, interpret)

@@ -85,12 +85,21 @@ class DepthProArch:
 class Dinov2Layer(nn.Module):
     arch: ViTArch
     dtype: Any = jnp.float32
+    # Measured null result (round 3, v5e): routing the 577-token,
+    # head-dim-64 self-attention through the fused Pallas kernel gives
+    # 3.56 img/s vs 3.61 for the XLA einsum at the full DepthPro b2@1536
+    # sweep — inference-only attention at these shapes is already
+    # well-fused by XLA (the kernel pays off in TRAINING, where it avoids
+    # materializing probabilities for the backward). Default "xla"; the
+    # switch remains available.
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         a = self.arch
         D = a.hidden_size
         head_dim = D // a.num_heads
+        backend = self.attention_backend
 
         h = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
@@ -100,22 +109,18 @@ class Dinov2Layer(nn.Module):
 
             @nn.compact
             def __call__(self, h):
+                from pose3d_tpu.ops.attention import dot_product_attention
+
                 B, T, _ = h.shape
                 qkv = []
                 for nm in ("query", "key", "value"):
                     t = nn.Dense(D, dtype=self.dtype, name=nm)(h)
                     qkv.append(t.reshape(B, T, a.num_heads, head_dim))
                 q, k, v = qkv
-                logits = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q, k,
-                    preferred_element_type=jnp.float32,
-                ) / math.sqrt(head_dim)
-                w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-                o = jnp.einsum(
-                    "bhqk,bkhd->bqhd", w, v,
-                    preferred_element_type=jnp.float32,
-                ).astype(v.dtype)
-                return o.reshape(B, T, D)
+                # softmax(qkᵀ/√d)·v — scale convention identical to the HF
+                # reference (modeling_depth_pro.py attention).
+                o = dot_product_attention(q, k, v, backend=backend)
+                return o.astype(v.dtype).reshape(B, T, D)
 
         class _AttnBlock(nn.Module):
             dtype: Any
@@ -165,10 +170,12 @@ class Dinov2Model(nn.Module):
 
     arch: ViTArch
     dtype: Any = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, collect_hidden: Sequence[int] = ()):
         a = self.arch
+        backend = self.attention_backend
         B = x.shape[0]
         D = a.hidden_size
         n_tok = a.out_size * a.out_size + 1
@@ -217,6 +224,7 @@ class Dinov2Model(nn.Module):
                 hidden = {}
                 for i in range(a.num_layers):
                     t = Dinov2Layer(a, dtype=self.dtype,
+                                    attention_backend=backend,
                                     name=f"layer_{i}")(t)
                     if i in collect_hidden:
                         hidden[i] = t
@@ -401,11 +409,13 @@ class DepthProDepthEstimator(nn.Module):
 
     arch: DepthProArch = DepthProArch()
     dtype: Any = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, pixel_values):
         a = self.arch
         vit = a.vit
+        backend = self.attention_backend
         B, S = pixel_values.shape[0], pixel_values.shape[1]
         n_scales = len(a.scaled_images_ratios)
         n_hooks = len(a.intermediate_hook_ids)
@@ -430,7 +440,8 @@ class DepthProDepthEstimator(nn.Module):
                 # high-res patches first through the shared encoder
                 patches = jnp.concatenate(scaled[::-1], axis=0)
                 tokens, hidden = Dinov2Model(
-                    vit, dtype=self.dtype, name="model"
+                    vit, dtype=self.dtype, attention_backend=backend,
+                    name="model",
                 )(patches, collect_hidden=tuple(a.intermediate_hook_ids))
 
                 # split back per scale (low-res first)
@@ -471,6 +482,7 @@ class DepthProDepthEstimator(nn.Module):
             def __call__(self, x):
                 img = _resize_bilinear(x, (vit.image_size, vit.image_size))
                 tokens, _ = Dinov2Model(vit, dtype=self.dtype,
+                                        attention_backend=backend,
                                         name="model")(img)
                 exponent = int(math.log2(S / vit.out_size))
                 base = S // 2 ** exponent
@@ -611,6 +623,7 @@ class DepthProDepthEstimator(nn.Module):
                     img = _resize_bilinear(
                         x, (vit.image_size, vit.image_size))
                     tokens, _ = Dinov2Model(vit, dtype=self.dtype,
+                                            attention_backend=backend,
                                             name="model")(img)
                     tokens = nn.Dense(a.fusion_hidden_size // 2,
                                       dtype=self.dtype, name="neck")(tokens)

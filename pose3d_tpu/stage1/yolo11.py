@@ -173,9 +173,18 @@ class Attention(nn.Module):
     num_heads: int
     attn_ratio: float = 0.5
     dtype: Any = jnp.float32
+    # Measured null result (round 3, v5e): "pallas" (the fused kernel,
+    # which handles the PSA's asymmetric key_dim = head_dim/2) gives
+    # 154.3 img/s vs 163.2 for "xla" at the full yolo11x b8@640 sweep —
+    # XLA already fuses this small 400-token inference attention well,
+    # and the kernel boundary costs more than it saves. Default stays
+    # "xla"; the switch remains for training-style workloads.
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from pose3d_tpu.ops.attention import dot_product_attention
+
         B, H, W, C = x.shape
         n = H * W
         head_dim = self.dim // self.num_heads
@@ -187,13 +196,12 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, n, self.num_heads, 2 * key_dim + head_dim)
         q, k, v = jnp.split(qkv, [key_dim, 2 * key_dim], axis=-1)
 
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k,
-            preferred_element_type=jnp.float32,
-        ) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                       preferred_element_type=jnp.float32).astype(v.dtype)
+        # softmax(qkᵀ·key_dim^-0.5)·v — dot_product_attention applies the
+        # identical 1/√key_dim scale internally.
+        del scale
+        o = dot_product_attention(
+            q, k, v, backend=self.attention_backend
+        ).astype(v.dtype)
         o = o.reshape(B, H, W, C)
         pe = Conv(self.dim, 3, g=self.dim, act=False, dtype=self.dtype,
                   name="pe")(v.reshape(B, H, W, C), train)
@@ -205,10 +213,12 @@ class PSABlock(nn.Module):
     c: int
     num_heads: int
     dtype: Any = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + Attention(self.c, self.num_heads, dtype=self.dtype,
+                          attention_backend=self.attention_backend,
                           name="attn")(x, train)
         f = Conv(self.c * 2, 1, dtype=self.dtype, name="ffn_0")(x, train)
         f = Conv(self.c, 1, act=False, dtype=self.dtype, name="ffn_1")(
@@ -223,6 +233,7 @@ class C2PSA(nn.Module):
     n: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -231,6 +242,7 @@ class C2PSA(nn.Module):
         a, b = y[..., :c], y[..., c:]
         for i in range(self.n):
             b = PSABlock(c, num_heads=c // 64, dtype=self.dtype,
+                         attention_backend=self.attention_backend,
                          name=f"m_{i}")(b, train)
         return Conv(self.c1, 1, dtype=self.dtype, name="cv2")(
             jnp.concatenate([a, b], axis=-1), train
@@ -303,6 +315,7 @@ class YOLO11Pose(nn.Module):
     nc: int = 1
     kpt_shape: Tuple[int, int] = (17, 3)
     dtype: Any = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, images, train: bool = False):
@@ -328,7 +341,9 @@ class YOLO11Pose(nn.Module):
         x = C3k2(c(1024), rep, c3k=True, dtype=dt,
                  name="model_8")(x, train)
         x = SPPF(c(1024), dtype=dt, name="model_9")(x, train)
-        x10 = C2PSA(c(1024), rep, dtype=dt, name="model_10")(x, train)
+        x10 = C2PSA(c(1024), rep, dtype=dt,
+                    attention_backend=self.attention_backend,
+                    name="model_10")(x, train)
 
         # FPN top-down
         x = jnp.concatenate([_upsample2(x10), x6], axis=-1)          # 11+12

@@ -144,3 +144,28 @@ def test_flash_attention_tensor_parallel():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(rg), rtol=2e-3, atol=2e-3
         )
+
+
+def test_value_depth_differs_from_qk():
+    """YOLO PSA shape: key_dim = head_dim/2, so v is deeper than q/k."""
+    import jax
+
+    q = rng.normal(size=(2, 400, 4, 32)).astype(np.float32)
+    k = rng.normal(size=(2, 400, 4, 32)).astype(np.float32)
+    v = rng.normal(size=(2, 400, 4, 64)).astype(np.float32)
+    expected = np.asarray(dot_product_attention(q, k, v, backend="xla"))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+    gr = jax.grad(
+        lambda q, k, v: (dot_product_attention(q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gp = jax.grad(
+        lambda q, k, v: (flash_attention(q, k, v, interpret=True) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")

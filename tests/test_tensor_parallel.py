@@ -86,3 +86,27 @@ def test_tp_train_step_matches_replicated():
     for x, y in zip(jax.tree_util.tree_leaves(a),
                     jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(x, y, atol=2.5 * lr, rtol=0)
+
+
+def test_tp_ghost_accum_with_pallas_kernel():
+    """Ghost-BN accumulation vmaps the whole loss over groups; the fused
+    attention kernel's custom_partitioning wrapper must stay vmappable
+    (custom_vmap flattens the group axis into the kernel batch axis —
+    round-3 regression: 'Batching rule for custom_partitioning not
+    implemented'). Runs the REAL kernel (interpret) on a (2,4) TP mesh
+    with accum=2, the driver-dryrun combination."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    model, variables = init_model(
+        TINY_VIT, batch_size=2, attention_backend="pallas_interpret"
+    )
+    s_tp = shard_state_for_tp(create_train_state(model, variables), mesh)
+    step = make_train_step(
+        model, mesh=mesh, donate=False, state_sharding="auto",
+        accum_mode="ghost",
+    )
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, 2, 2)  # A=2 groups — exercises a real vmap axis
+    out, metrics = step(s_tp, batch, jax.random.PRNGKey(1))
+    loss = float(jax.device_get(metrics)["total_loss"])
+    assert np.isfinite(loss)
+    assert int(jax.device_get(out.step)) == 1
