@@ -26,7 +26,15 @@ logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("Convert")
 
 
-def convert(pth_path: str, out_dir: str) -> str:
+def convert(pth_path: str, out_dir: str, model_type: str = None) -> str:
+    """Port a torch ``.pth`` to a framework checkpoint directory.
+
+    Accepts the reference's self-describing format
+    ({model_state_dict, model_args, model_type}, train.py:300-308) AND the
+    degenerate forms its own infer CLI tolerates (infer.py:73-131): a bare
+    state_dict (``model_type`` then comes from the argument, defaulting to
+    "cnn" like the reference's ModelConfig) and ``module.`` DDP prefixes.
+    """
     import torch
 
     from pose3d_tpu.compat import (
@@ -38,17 +46,28 @@ def convert(pth_path: str, out_dir: str) -> str:
     from pose3d_tpu.train import create_train_state
     from pose3d_tpu.train.checkpoint import save_checkpoint
 
-    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
-    if "model_state_dict" not in ckpt:
+    try:
+        ckpt = torch.load(pth_path, map_location="cpu", weights_only=True)
+    except Exception:
+        # reference checkpoints may embed non-tensor objects in model_args;
+        # the file is user-supplied, same trust as the reference's own load
+        ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    if "model_state_dict" in ckpt:
+        raw_sd = ckpt["model_state_dict"]
+        model_type = ckpt.get("model_type", model_type or "cnn")
+        model_args = ckpt.get("model_args", {})
+        step = int(ckpt.get("step", 0))
+    elif ckpt and all(hasattr(v, "shape") for v in ckpt.values()):
+        # bare state_dict (reference infer.py:84-92 fallback)
+        raw_sd, model_args, step = ckpt, {}, 0
+        model_type = model_type or "cnn"
+        logger.info("Bare state_dict: assuming model_type=%s", model_type)
+    else:
         raise ValueError(
             "Expected a reference checkpoint with 'model_state_dict' "
-            "(train.py:300-308 format)."
+            "(train.py:300-308 format) or a bare state_dict."
         )
-    model_type = ckpt.get("model_type", "cnn")
-    model_args = ckpt.get("model_args", {})
-    step = int(ckpt.get("step", 0))
-    sd = {k.replace("module.", ""): v
-          for k, v in ckpt["model_state_dict"].items()}
+    sd = {k.replace("module.", ""): v for k, v in raw_sd.items()}
 
     cfg = make_model_config(model_type, **model_args)
     if model_type == "cnn":
@@ -71,6 +90,35 @@ def convert(pth_path: str, out_dir: str) -> str:
     return str(path)
 
 
+def ensure_framework_checkpoint(path, model_type: str = None) -> str:
+    """Accept either a framework checkpoint directory or a raw reference
+    torch ``.pth`` — a reference user's checkpoint works with one command
+    (reference infer.py loads .pth directly, infer.py:73-131). Torch files
+    are converted once into a sibling ``<name>.jax/`` directory and reused
+    while newer than the source file."""
+    import os
+    from pathlib import Path
+
+    p = Path(path)
+    if p.is_dir():
+        return str(p)
+    if not p.is_file():
+        return str(p)  # let the checkpoint loader raise its usual error
+    out = p.with_name(p.name + ".jax")
+    if out.is_dir() and out.stat().st_mtime >= p.stat().st_mtime:
+        logger.info("Reusing converted checkpoint %s", out)
+        return str(out)
+    try:
+        converted = convert(str(p), str(out), model_type=model_type)
+    except PermissionError:  # read-only checkpoint directory
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="pose3d_ckpt_")
+        converted = convert(str(p), tmp, model_type=model_type)
+    os.utime(converted)  # mark fresher than the source .pth
+    return str(converted)
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         description="Convert a reference torch .pth checkpoint to a "
@@ -78,12 +126,16 @@ def build_parser():
     )
     p.add_argument("pth", type=str)
     p.add_argument("out", type=str)
+    p.add_argument("--model-type", type=str, default=None,
+                   choices=["cnn", "transformer"],
+                   help="Architecture for bare state_dicts that carry no "
+                        "model_type (self-describing checkpoints ignore it)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    return convert(args.pth, args.out)
+    return convert(args.pth, args.out, model_type=args.model_type)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,10 @@ def run(args) -> dict:
     cfg = GlobalConfig()
     batch_size = args.batch_size or cfg.batch_size
 
+    from pose3d_tpu.cli.convert import ensure_framework_checkpoint
+
+    # raw reference .pth checkpoints are converted on the fly
+    args.checkpoint = ensure_framework_checkpoint(args.checkpoint)
     meta = load_checkpoint_meta(args.checkpoint)
     model_type = meta.get("model_type", cfg.model_type)
     model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
@@ -105,7 +109,9 @@ def run(args) -> dict:
     logger.info("MPJPE      : %.2f mm", metrics["mpjpe"])
     logger.info("PA-MPJPE   : %.2f mm", metrics["pa_mpjpe"])
     for k, v in sorted(metrics.items()):
-        if k not in ("mpjpe", "pa_mpjpe"):
+        # checkpoint_step is an integer id, already in the INFO header —
+        # keep it out of the float-formatted loss-component listing
+        if k not in ("mpjpe", "pa_mpjpe", "checkpoint_step"):
             logger.info("%-11s: %.4f", k, v)
     print(json.dumps(metrics))
     if args.json:

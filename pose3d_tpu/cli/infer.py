@@ -43,7 +43,16 @@ VIZ_THUMBNAIL_SIZE = (500, 500)
 
 def load_pose_model(checkpoint_path, model_type=None):
     """Rebuild architecture from checkpoint metadata and load weights
-    (reference infer.py:73-131). Returns (model, variables, config)."""
+    (reference infer.py:73-131). Returns (model, variables, config).
+
+    A raw reference torch ``.pth`` (self-describing, bare state_dict, or
+    ``module.``-prefixed) is accepted directly and converted on the fly —
+    drop-in parity with the reference's own loader."""
+    from pose3d_tpu.cli.convert import ensure_framework_checkpoint
+
+    checkpoint_path = ensure_framework_checkpoint(
+        checkpoint_path, model_type=model_type
+    )
     meta = load_checkpoint_meta(checkpoint_path)
     model_type = meta.get("model_type", model_type)
     model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
@@ -180,14 +189,23 @@ def run(args):
     B = args.batch_size
     for i in range(0, len(image_files), B):
         files = image_files[i : i + B]
-        raws, s1s, kept = [], [], []
+        decoded, paths = [], []
         for f in files:
             bgr = cv2.imread(str(f), cv2.IMREAD_COLOR)
             if bgr is None:
                 logger.error("Could not open image %s", f.name)
                 continue
-            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-            s1 = provider.predict_one(f, rgb)
+            decoded.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            paths.append(f)
+        if not paths:
+            continue
+        # ONE stage-1 dispatch for the whole CLI batch: keypoints and depth
+        # each run as a single jitted batched call (JaxStage1.predict_batch)
+        # instead of the reference's per-image triple dispatch
+        # (infer.py:424; SURVEY.md §3.2).
+        s1_list = provider.predict(paths, images=decoded)
+        raws, s1s, kept = [], [], []
+        for f, rgb, s1 in zip(paths, decoded, s1_list):
             if s1 is None:
                 logger.warning("Skipping %s: no stage-1 outputs.", f.name)
                 continue

@@ -44,7 +44,16 @@ def load_state_dict(path) -> Dict[str, np.ndarray]:
                 for k, v in load_file(path).items()}
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # tensor-only checkpoints load without unpickling arbitrary classes
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        logger.warning(
+            "%s is not loadable with weights_only=True; falling back to "
+            "unpickling (trusted-source file assumed — prefer .safetensors)",
+            path,
+        )
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k: v.detach().float().cpu().numpy()

@@ -538,6 +538,7 @@ class JaxStage1:
         depth_weights=None,
         kp_input_size: int = 640,
         depth_input_size: int = 1536,
+        depth_max_batch: int = 2,
         dtype=None,
         mesh=None,
     ):
@@ -565,9 +566,13 @@ class JaxStage1:
                 mesh=mesh,
             )
         if depth_weights:
+            # depth_max_batch: DepthPro's device micro-batch (HBM bound at
+            # 1536²). A batched predict() call is internally chunked to
+            # this size, so CLI batches that are a multiple of it run with
+            # zero padding waste.
             self._depth = DepthProBackend(
-                depth_weights, input_size=depth_input_size, dtype=dtype,
-                mesh=mesh,
+                depth_weights, input_size=depth_input_size,
+                max_batch=depth_max_batch, dtype=dtype, mesh=mesh,
             )
         else:
             self._depth = NativeDepthBackend(

@@ -82,6 +82,24 @@ def load_ultralytics_state_dict(path) -> Dict[str, np.ndarray]:
 
     import torch
 
+    # Prefer the safe loader: a plain tensor-only checkpoint needs no
+    # unpickling of arbitrary classes. Ultralytics .pt files embed nn.Module
+    # objects, so they fall through to the stub-unpickle path — which
+    # executes pickle bytecode from the file: only load weights from a
+    # TRUSTED source (or convert to .safetensors first).
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        sd = _extract_state_dict(obj)
+        if not sd:
+            raise ValueError("no tensors under weights_only=True")
+        return sd
+    except Exception:
+        logger.warning(
+            "%s is not loadable with weights_only=True; falling back to "
+            "unpickling (trusted-source .pt assumed — prefer .safetensors)",
+            path,
+        )
+
     finder = _StubFinder()
     sys.meta_path.insert(0, finder)
     try:
@@ -92,6 +110,10 @@ def load_ultralytics_state_dict(path) -> Dict[str, np.ndarray]:
                      if isinstance(sys.modules[m], _StubModule)]:
             del sys.modules[name]
 
+    return _extract_state_dict(obj)
+
+
+def _extract_state_dict(obj) -> Dict[str, np.ndarray]:
     if isinstance(obj, dict) and "model" in obj and hasattr(
         obj["model"], "state_dict"
     ):
@@ -100,6 +122,8 @@ def load_ultralytics_state_dict(path) -> Dict[str, np.ndarray]:
         obj = obj["state_dict"]
     elif hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    if not isinstance(obj, dict):
+        return {}
     return {
         _strip(k): v.detach().float().cpu().numpy()
         for k, v in obj.items()

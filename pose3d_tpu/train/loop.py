@@ -87,6 +87,24 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
         yield buf.popleft()
 
 
+def _cross_host_reduce(totals: Dict[str, float], count: int):
+    """Sum per-host (totals, count) across all JAX processes. Identity in a
+    single-process run; on a multi-host pod each host validates only its
+    host-sharded slice of the val set (cli/main.py) and the sums combine
+    here, so the reported averages cover the full set exactly once."""
+    if jax.process_count() == 1:
+        return totals, count
+    from jax.experimental import multihost_utils
+
+    keys = sorted(totals)
+    local = np.asarray([totals[k] for k in keys] + [float(count)],
+                       np.float64)
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)
+    ).reshape(jax.process_count(), -1).sum(axis=0)
+    return dict(zip(keys, summed[:-1])), int(summed[-1])
+
+
 def evaluate(eval_step, state, val_loader,
              pad_to: Optional[int] = None) -> Dict[str, float]:
     """Full validation pass: sample-weighted averages of loss components,
@@ -95,7 +113,9 @@ def evaluate(eval_step, state, val_loader,
     ``eval_step`` must be per-sample (make_eval_step(per_sample=True));
     ragged final batches are padded to ``pad_to`` (static shapes, no
     recompile) and the padding is masked out of the averages — exact
-    metrics over the full set."""
+    metrics over the full set. With multiple JAX processes, each host
+    evaluates its own (host-sharded) batches and the sums are combined
+    across hosts."""
     totals: Dict[str, float] = {}
     count = 0
     for batch in val_loader:
@@ -117,6 +137,7 @@ def evaluate(eval_step, state, val_loader,
             v = np.asarray(v)
             totals[k] = totals.get(k, 0.0) + float(v[:bs].sum())
         count += bs
+    totals, count = _cross_host_reduce(totals, count)
     if count == 0:
         # A misconfigured --val-chunks must not silently degrade to
         # "no validation" (round-1 finding).
@@ -148,6 +169,7 @@ def train_model(
     max_epochs: int = 10_000,
     rng: Optional[jax.Array] = None,
     compat_pa_metric: bool = False,
+    accum_mode: str = "ghost",
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -164,8 +186,13 @@ def train_model(
     writer = writer or NullWriter()
     rng = rng if rng is not None else jax.random.PRNGKey(42)
     model_args = model_args or {}
+    # Multi-host hygiene: only process 0 writes checkpoints (cli/main.py
+    # already routes non-primary hosts to a NullWriter) — on a pod every
+    # process would otherwise save into the same directory concurrently.
+    is_primary = jax.process_index() == 0
 
-    train_step = make_train_step(model, loss_weights, mesh=mesh)
+    train_step = make_train_step(model, loss_weights, mesh=mesh,
+                                 accum_mode=accum_mode)
     eval_step = make_eval_step(
         model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric,
         per_sample=True,
@@ -331,10 +358,12 @@ def train_model(
                             global_step, val["total_loss"],
                             val["mpjpe"], val["pa_mpjpe"],
                         )
-                    save_checkpoint(
-                        f"{checkpoint_prefix}_{model_type}_step_{global_step}",
-                        state, model_type, model_args,
-                    )
+                    if is_primary:
+                        save_checkpoint(
+                            f"{checkpoint_prefix}_{model_type}"
+                            f"_step_{global_step}",
+                            state, model_type, model_args,
+                        )
                     last_ckpt_step = global_step
                     # preview/eval/checkpoint time must not pollute the
                     # next Perf/* window (it would inflate step_time_ms
@@ -352,7 +381,7 @@ def train_model(
         # progress since the last periodic save (round-1 finding; a crash
         # AT the eval step would otherwise lose eval_interval-1 steps).
         _flush_metrics()
-        if global_step > last_ckpt_step:
+        if global_step > last_ckpt_step and is_primary:
             save_checkpoint(
                 f"{checkpoint_prefix}_{model_type}_step_{global_step}",
                 state, model_type, model_args,
