@@ -124,6 +124,12 @@ def run(args):
         args.checkpoint_path, args.model_type
     )
     extra = {}
+    if args.stage1 == "jax" and args.data_parallel:
+        # mirror cli/preprocess.py: shard stage-1 batches over all devices
+        from pose3d_tpu.core.mesh import make_mesh
+
+        extra["mesh"] = make_mesh((len(jax.devices()),), ("data",))
+        logger.info("Data-parallel stage-1 over %s", extra["mesh"])
     if args.stage1 == "jax":
         extra["confidence_threshold"] = args.yolo_confidence_threshold
         if not args.kp_weights and args.yolo_model_path:
@@ -291,6 +297,9 @@ def build_parser():
                         "native JAX models")
     p.add_argument("--batch-size", type=int, default=8,
                    help="Images lifted per jitted batch")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard stage-1 batches over all devices (mesh data "
+                        "axis; --stage1 jax only, same as preprocess)")
     p.add_argument("--yolo_model_path", type=str, default=None,
                    help="Reference-compat alias for --kp-weights with "
                         "--stage1 jax (ignored by the cached backend)")

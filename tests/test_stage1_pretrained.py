@@ -150,3 +150,48 @@ def test_provider_data_parallel_mesh(weight_files):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(ra.depth, rb.depth, rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_infer_cli_data_parallel_flag(tmp_path, weight_files):
+    """--data-parallel on the infer CLI shards stage-1 batches over the
+    8-device virtual mesh (parity with preprocess's flag)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from pose3d_tpu.cli import infer as inf
+    from pose3d_tpu.core.config import CNNModelConfig
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    kp_w, depth_w = weight_files
+    cfg = CNNModelConfig.from_dict(dict(
+        image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+        initial_channels=8, stage_channels=[8, 16, 16],
+        stage_depths=[1, 1, 1], global_pool_size=2,
+        global_feature_dim=16, regression_dims=[16], in_channels=21,
+    ))
+    model, variables = init_model(cfg, batch_size=1, dtype=jnp.float32)
+    state = create_train_state(model, variables)
+    ckpt = tmp_path / "ck"
+    save_checkpoint(ckpt, state, model_type="cnn", model_args=cfg.to_dict())
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(6)
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.integers(0, 255, size=(40, 56, 3), dtype=np.uint8))
+
+    out = tmp_path / "out_dp"
+    n = inf.main([
+        "--checkpoint_path", str(ckpt), "--input_folder", str(img_dir),
+        "--output_folder", str(out), "--stage1", "jax",
+        "--kp-weights", str(kp_w), "--depth-weights", str(depth_w),
+        "--kp-input-size", "64", "--depth-input-size", "64",
+        "--batch-size", "2", "--data-parallel",
+    ])
+    assert n == 2
+    for f in sorted(out.glob("*_pred_joints3d.npy")):
+        j = np.load(f)
+        assert j.shape == (17, 3) and np.isfinite(j).all()
