@@ -102,3 +102,26 @@ def test_ghost_matches_scan(setup, accum):
     )
 
     assert int(s_ghost.step) == int(state.step) + 1
+
+
+def test_ghost_matches_scan_over_multiple_steps(setup):
+    """Chained equivalence: 4 optimizer steps with fresh data each step —
+    catches drift that a single-step comparison could miss (EMA chain
+    composition, optimizer-state evolution)."""
+    model, state = setup
+    scan_step = make_train_step(model, donate=False, accum_mode="scan")
+    ghost_step = make_train_step(model, donate=False, accum_mode="ghost")
+
+    s_scan = s_ghost = state
+    rng = np.random.default_rng(11)
+    for i in range(4):
+        batch = _batch(rng, 2, 4)
+        key = jax.random.PRNGKey(100 + i)
+        s_scan, _ = scan_step(s_scan, batch, key)
+        s_ghost, _ = ghost_step(s_ghost, batch, key)
+
+    s_scan, s_ghost = jax.device_get((s_scan, s_ghost))
+    _tree_allclose(s_scan.params, s_ghost.params, 5e-4, 5e-5, "params@4")
+    _tree_allclose(
+        s_scan.batch_stats, s_ghost.batch_stats, 5e-4, 5e-5, "bstats@4"
+    )
