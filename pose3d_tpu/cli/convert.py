@@ -52,6 +52,15 @@ def convert(pth_path: str, out_dir: str, model_type: str = None) -> str:
         # reference checkpoints may embed non-tensor objects in model_args;
         # the file is user-supplied, same trust as the reference's own load
         ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    if hasattr(ckpt, "state_dict") and not isinstance(ckpt, dict):
+        # torch.save(model) whole-module checkpoints (yolo_port handles
+        # the same shape); architecture must come from the CLI
+        ckpt = {k: v for k, v in ckpt.state_dict().items()}
+    if not isinstance(ckpt, dict):
+        raise ValueError(
+            f"Unsupported checkpoint object {type(ckpt).__name__}: expected "
+            "a dict (reference format or bare state_dict) or an nn.Module."
+        )
     if "model_state_dict" in ckpt:
         raw_sd = ckpt["model_state_dict"]
         model_type = ckpt.get("model_type", model_type or "cnn")
@@ -105,7 +114,10 @@ def ensure_framework_checkpoint(path, model_type: str = None) -> str:
     if not p.is_file():
         return str(p)  # let the checkpoint loader raise its usual error
     out = p.with_name(p.name + ".jax")
-    if out.is_dir() and out.stat().st_mtime >= p.stat().st_mtime:
+    # reuse only a COMPLETE conversion: meta.json is written last by
+    # save_checkpoint, so its presence marks success (an interrupted
+    # conversion leaves a partial dir that must be redone)
+    if (out / "meta.json").is_file()             and out.stat().st_mtime >= p.stat().st_mtime:
         logger.info("Reusing converted checkpoint %s", out)
         return str(out)
     try:

@@ -256,15 +256,19 @@ def main(argv=None):
         shard_id=shard_id, num_shards=num_shards,
     )
     train_ds.training = True
-    # Val is host-sharded like train; evaluate() sums the per-host metric
-    # totals across processes (train/loop._cross_host_reduce). On a pod,
-    # provide at least num_hosts val chunks — a host with zero local val
-    # batches would desynchronize the SPMD eval calls.
+    # Val is deliberately NOT host-sharded: under the global SPMD mesh
+    # every process must issue the IDENTICAL sequence of eval_step calls
+    # (they carry cross-host collectives), and with a streaming dataset
+    # of unknown per-host cardinality, host-sharding cannot guarantee
+    # equal batch counts — unequal counts deadlock the pod at the first
+    # full validation. Instead every host decodes the same full val set
+    # (identical seeded shuffle) and feeds its addressable slice of each
+    # identical global batch; metrics come out replicated and correct.
+    # The only cost is duplicated host-side decode of the val set.
     val_ds = StreamingChunkedDataset(
         "test", args.chunks_dir, chunk_indices=args.val_chunks,
         image_size=image_size, cache_dir=cache_dir,
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
-        shard_id=shard_id, num_shards=num_shards,
     )
     train_loader = BatchLoader(train_ds, batch_size, loop=True)
     val_loader = BatchLoader(val_ds, batch_size, drop_last=False)

@@ -40,6 +40,10 @@ def dot_product_attention(q, k, v, *, backend: str = "xla"):
     dtype = q.dtype
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale  # fp32 MXU accumulation: bf16 logits would quantize the
+    # softmax (the stage-1 einsums this path replaced kept fp32 scores)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    return jnp.einsum("bhts,bshd->bthd", probs, v)
+    return jnp.einsum("bhts,bshd->bthd", probs, v,
+                      preferred_element_type=jnp.float32).astype(dtype)

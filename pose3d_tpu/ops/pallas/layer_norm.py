@@ -16,9 +16,11 @@ residuals. Backward: standard LN gradient
 with per-block partial (dscale, dbias) accumulated across row blocks by a
 tiny XLA sum outside the kernel.
 
-This module is integration-gated: models adopt it only behind
-``fast_layernorm`` once measured faster end-to-end on hardware (the BN
-lesson — a kernel boundary can cost more than the reduce it saves).
+NOT wired into any model: measured at the same bandwidth wall as flax
+LayerNorm on the development chip (docs/ROUND3.md), so it stays a
+tested, self-contained op awaiting hardware where the fused pass wins
+(the BN lesson — a kernel boundary can cost more than the reduce it
+saves).
 """
 
 from __future__ import annotations

@@ -20,8 +20,11 @@ HBM with an [N, 4·D] tensor.
 GELU is the exact erf variant (ops/activations.py: torch nn.GELU default);
 its derivative is Φ(a) + a·φ(a) with Φ the normal CDF and φ the pdf.
 
-Integration is evidence-gated behind ``models.transformer.Mlp``'s
-``fused`` switch (dropout-free paths only — the ViT backbone's 12 blocks).
+NOT wired into any model: the measured result on the development chip
+(docs/ROUND3.md) is a tie with XLA's own pipeline, so this stays a
+tested, self-contained op awaiting hardware where the traffic saving
+pays; a future integration would thread a switch through
+``models.transformer.Mlp`` (dropout-free paths only).
 """
 
 from __future__ import annotations
@@ -188,7 +191,7 @@ def _fwd_impl(x, w1, b1, w2, b2, interpret):
     return out[:n].reshape(shape)
 
 
-def _bwd_impl(x, w1, b1, w2, g, interpret):
+def _bwd_impl(x, w1, b1, w2, b2_dtype, g, interpret):
     shape = x.shape
     D = shape[-1]
     H = w1.shape[-1]
@@ -233,7 +236,7 @@ def _bwd_impl(x, w1, b1, w2, g, interpret):
         dw1.astype(w1.dtype),
         db1[0].astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2[0].astype(b1.dtype),
+        db2[0].astype(b2_dtype),
     )
 
 
@@ -251,12 +254,13 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
 
 def _fused_fwd(x, w1, b1, w2, b2, interpret):
     out = _fwd_impl(x, w1, b1, w2, b2, interpret)
-    return out, (x, w1, b1, w2)
+    # b2 rides along only for its dtype (residuals must be JAX types)
+    return out, (x, w1, b1, w2, b2)
 
 
 def _fused_bwd(interpret, res, g):
-    x, w1, b1, w2 = res
-    dx, dw1, db1, dw2, db2 = _bwd_impl(x, w1, b1, w2, g, interpret)
+    x, w1, b1, w2, b2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_impl(x, w1, b1, w2, b2.dtype, g, interpret)
     return dx, dw1, db1, dw2, db2
 
 

@@ -87,24 +87,6 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
         yield buf.popleft()
 
 
-def _cross_host_reduce(totals: Dict[str, float], count: int):
-    """Sum per-host (totals, count) across all JAX processes. Identity in a
-    single-process run; on a multi-host pod each host validates only its
-    host-sharded slice of the val set (cli/main.py) and the sums combine
-    here, so the reported averages cover the full set exactly once."""
-    if jax.process_count() == 1:
-        return totals, count
-    from jax.experimental import multihost_utils
-
-    keys = sorted(totals)
-    local = np.asarray([totals[k] for k in keys] + [float(count)],
-                       np.float64)
-    summed = np.asarray(
-        multihost_utils.process_allgather(local)
-    ).reshape(jax.process_count(), -1).sum(axis=0)
-    return dict(zip(keys, summed[:-1])), int(summed[-1])
-
-
 def evaluate(eval_step, state, val_loader,
              pad_to: Optional[int] = None) -> Dict[str, float]:
     """Full validation pass: sample-weighted averages of loss components,
@@ -137,7 +119,6 @@ def evaluate(eval_step, state, val_loader,
             v = np.asarray(v)
             totals[k] = totals.get(k, 0.0) + float(v[:bs].sum())
         count += bs
-    totals, count = _cross_host_reduce(totals, count)
     if count == 0:
         # A misconfigured --val-chunks must not silently degrade to
         # "no validation" (round-1 finding).

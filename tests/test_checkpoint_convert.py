@@ -191,3 +191,22 @@ def test_raw_pth_accepted_directly(tmp_path):
         # bare dict of a NON-default architecture cannot be rebuilt
         # without model_args — must raise loudly, not mis-load
         convert(str(pth2), str(tmp_path / "bare_out"), model_type="cnn")
+
+
+def test_whole_module_checkpoint(tmp_path):
+    """torch.save(model) (a pickled nn.Module, not a dict) must route
+    through the state_dict extraction instead of raising TypeError."""
+    torch.manual_seed(4)
+    ref_cfg = RefModelConfig("cnn", **KW)
+    tmodel = RefCNN(ref_cfg)
+    pth = tmp_path / "whole_module.pth"
+    torch.save(tmodel, pth)
+
+    from pose3d_tpu.cli.convert import convert
+
+    # KW differs from the default architecture, so the bare state_dict
+    # cannot be rebuilt without model_args — the point is the loud,
+    # guided error (not a TypeError crash on a non-dict checkpoint).
+    with pytest.raises(Exception) as ei:
+        convert(str(pth), str(tmp_path / "out"), model_type="cnn")
+    assert not isinstance(ei.value, TypeError)

@@ -1,7 +1,8 @@
 """Multi-host hygiene (VERDICT r2 weak #6): on a multi-process pod only
-process 0 may write checkpoints/TB, the val set is host-sharded, and
-evaluate() combines per-host metric sums. Multi-process behavior is faked
-via monkeypatching — the standard single-process stand-in."""
+process 0 may write checkpoints/TB; the TRAIN set is host-sharded while
+validation is deliberately replicated (every host must issue identical
+SPMD eval calls — see cli/main.py). Multi-process behavior is faked via
+monkeypatching — the standard single-process stand-in."""
 
 import numpy as np
 import jax
@@ -57,35 +58,10 @@ def test_checkpoint_writes_gated_on_primary(
     assert bool(ckpts) == expect_ckpt, (process_index, ckpts)
 
 
-def test_cross_host_reduce_single_process_identity():
-    totals, count = train_loop._cross_host_reduce({"a": 1.5, "b": 2.0}, 7)
-    assert totals == {"a": 1.5, "b": 2.0} and count == 7
-
-
-def test_cross_host_reduce_sums_across_processes(monkeypatch):
-    """Fake a 2-process run: process_allgather returns both hosts' packed
-    vectors; the reduce must sum them and the metric averages then cover
-    the union of the two host-sharded val slices exactly once."""
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-
-    other = np.asarray([3.0, 5.0, 4.0])  # totals a=3, b=5, count=4
-
-    class _FakeMHU:
-        @staticmethod
-        def process_allgather(local):
-            return np.stack([np.asarray(local), other])
-
-    import jax.experimental as jexp
-
-    monkeypatch.setattr(jexp, "multihost_utils", _FakeMHU, raising=False)
-    totals, count = train_loop._cross_host_reduce({"a": 1.0, "b": 2.0}, 6)
-    assert totals == {"a": 4.0, "b": 7.0}
-    assert count == 10
-
-
-def test_val_dataset_host_sharding_partitions_chunks(tmp_path):
+def test_train_dataset_host_sharding_partitions_chunks(tmp_path):
     """Faked host_shard_info values → disjoint, covering chunk split
-    (the property cli/main.py now applies to the VAL set too)."""
+    (the property cli/main.py applies to the TRAIN set; validation is
+    intentionally replicated — identical SPMD call sequences per host)."""
     from tests.helpers_synthetic import make_synthetic_dataset
 
     make_synthetic_dataset(

@@ -68,3 +68,17 @@ def test_bf16_forward():
         _ref(x.astype(jnp.float32), w1, b1, w2, b2), np.float32
     )
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_grads_respect_param_dtypes():
+    """db2 must come back in b2's dtype even when it differs from b1's
+    (round-3 review: copy-paste used b1.dtype)."""
+    x, w1, b1, w2, _ = _mk(256, 128, 512)
+    b2 = jnp.asarray(rng.normal(size=(128,)) * 0.05, jnp.bfloat16)
+
+    def loss(x, w1, b1, w2, b2):
+        return fused_mlp(x, w1, b1, w2, b2, True).astype(jnp.float32).sum()
+
+    g = jax.grad(loss, argnums=(2, 4))(x, w1, b1, w2, b2)
+    assert g[0].dtype == jnp.float32   # db1
+    assert g[1].dtype == jnp.bfloat16  # db2
