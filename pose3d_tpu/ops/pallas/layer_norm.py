@@ -32,6 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pose3d_tpu.ops.pallas.util import (
+    pad_rows as _pad_rows,
+    row_spec as _row_spec,
+)
+
 _BLOCK_ROWS = 512
 
 
@@ -65,18 +70,6 @@ def _bwd_kernel(x_ref, scale_ref, mu_ref, rstd_ref, g_ref,
     # per-block partials over the row axis; final [C] sum happens outside
     dscale_ref[0, 0, :] = jnp.sum(g * xhat, axis=0)
     dbias_ref[0, 0, :] = jnp.sum(g, axis=0)
-
-
-def _pad_rows(x2, BR):
-    n = x2.shape[0]
-    np_ = -(-n // BR) * BR
-    if np_ != n:
-        x2 = jnp.pad(x2, ((0, np_ - n), (0, 0)))
-    return x2, np_
-
-
-def _row_spec(BR, C):
-    return pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _stat_spec(BR):

@@ -37,6 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pose3d_tpu.ops.pallas.util import (
+    const_spec as _const_spec,
+    pad_rows as _pad_rows,
+    row_spec as _row_spec,
+)
+
 _BLOCK_ROWS = 256
 _SQRT_HALF = 1.0 / math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
@@ -125,25 +131,6 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
     )
     db2_ref[...] += jnp.sum(
         g.astype(jnp.float32), axis=0, keepdims=True
-    )
-
-
-def _pad_rows(x2, BR):
-    n = x2.shape[0]
-    np_ = -(-n // BR) * BR
-    if np_ != n:
-        x2 = jnp.pad(x2, ((0, np_ - n), (0, 0)))
-    return x2, np_
-
-
-def _row_spec(BR, C):
-    return pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-
-def _const_spec(shape):
-    nd = len(shape)
-    return pl.BlockSpec(
-        shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM
     )
 
 
