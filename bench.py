@@ -5,10 +5,12 @@ Primary metric: effective images/sec of one optimizer step at the
 reference's exact training configuration — batch 10 × grad-accum 10
 (/root/reference/src/config.py:7-8), full 500×500 21-channel CNN — i.e.
 the workload that dominates the reference's 1–3 day training runs. Since
-round 3 the step uses ghost-BatchNorm accumulation (train/step.py
-accum_mode="ghost"): one batch-100 XLA program whose BatchNorm statistics
-are computed per group of 10, proven equivalent to the sequential
-accumulation loop by tests/test_ghost_accum.py.
+round 3 the step uses grouped ghost-BatchNorm accumulation (train/step.py
+accum_mode="grouped"): one flat batch-100 XLA program whose BatchNorm
+statistics are computed per group of 10 inside each BatchNorm call
+(train/ghost_bn.py interceptor), proven equivalent to the sequential
+accumulation loop by tests/test_ghost_accum.py. Chip A/B: grouped 278.1,
+ghost (vmapped) 257.4, scan 161, 100×1 control 281.6 img/s.
 
 Method: the train step consumes the whole [A=10, B=10, ...] superbatch in
 one jitted program. K steps are chained through the donated train state
@@ -63,7 +65,7 @@ def _device_batch(accum: int, batch: int, size: int = 500, joints: int = 17):
 
 def bench_train(model, variables, accum: int, batch: int,
                 warmup: int = 3, reps: int = 5,
-                accum_mode: str = "ghost", size: int = 500) -> float:
+                accum_mode: str = "grouped", size: int = 500) -> float:
     """Images/sec of the full train step (fwd+bwd+accum+optimizer)."""
     import jax
 
@@ -213,6 +215,9 @@ def main():
         ("train_step_scan_10x10_images_per_sec",
          lambda: bench_train(model, variables, accum=10, batch=10,
                              accum_mode="scan", reps=3)),
+        ("train_step_ghost_10x10_images_per_sec",
+         lambda: bench_train(model, variables, accum=10, batch=10,
+                             accum_mode="ghost")),
         ("train_step_b100x1_images_per_sec",
          lambda: bench_train(model, variables, accum=1, batch=100)),
         ("forward_b10_images_per_sec",

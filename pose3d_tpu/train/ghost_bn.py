@@ -1,0 +1,152 @@
+"""Grouped (ghost) BatchNorm statistics via flax method interception.
+
+Motivation (round 3 profile, docs/ROUND3.md): the ghost accumulation mode
+vmaps the whole model over the accumulation axis, and the vmap costs
+~25-30 ms/step of copies/reshapes on the 500px CNN step versus the flat
+batch-100 program (380 vs ~347 ms device). The grouped formulation runs
+the model ONCE on the flat [A*B] batch — the exact program of the fast
+100x1 configuration — and restores the reference's 10x10 BatchNorm
+semantics (src/train.py:83-121 accumulates 10 microbatches whose BN
+statistics each cover 10 samples) *inside* the BatchNorm call: statistics
+per group of B samples, normalization per group, and the A-fold
+sequential running-stat EMA chain applied in closed form.
+
+Implementation: rather than threading a ``groups`` attribute through
+every block (ConvBnAct, InvertedResidual, DualPath, WASP, and
+CoordAttention's hard-coded ``nn.BatchNorm`` — models/cnn.py:329), the
+grouped train step applies the unmodified model under
+``nn.intercept_methods`` with the interceptor below, which swaps every
+``nn.BatchNorm.__call__`` in training mode for the per-group computation.
+Numerics reuse flax's own ``_compute_stats`` / ``_normalize`` helpers, so
+each group's statistics and normalization are bit-identical to what an
+``nn.BatchNorm`` would compute on that group alone; equivalence with the
+sequential scan path is asserted by tests/test_ghost_accum.py.
+
+The closed-form EMA chain: the sequential path folds group statistics
+s_0..s_{A-1} into the running value as r_{i+1} = m*r_i + (1-m)*s_i, which
+telescopes to
+
+    r_A = m^A * r_0 + sum_i m^(A-1-i) * (1-m) * s_i.
+
+Dropout note: grouped mode leaves dropout untouched — one mask over the
+flat batch instead of per-group masks from fold_in(rng, i). Bernoulli
+masks are iid per element either way, so training dynamics are identical
+in distribution, but bitwise mask equality with the scan path only holds
+with dropout disabled (the reference's torch dropout masks were never
+bit-matched either).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.linen import module as fmodule
+from flax.linen import normalization as fnorm
+
+
+def ghost_batchnorm_interceptor(groups: int):
+    """Build an ``nn.intercept_methods`` interceptor computing BatchNorm
+    statistics per group of ``batch_size // groups`` samples.
+
+    Only ``nn.BatchNorm`` instances in training mode (use_running_average
+    False) are rewritten; every other module method passes through. The
+    custom DotStatsBatchNorm / Pallas BN variants are rejected loudly —
+    silently computing their statistics over the whole flat batch would
+    change training semantics.
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mdl = context.module
+        if context.method_name != "__call__" or groups == 1:
+            return next_fun(*args, **kwargs)
+        if type(mdl) is not nn.BatchNorm:
+            # Refuse the custom BN variants instead of mis-grouping them.
+            from pose3d_tpu.models.cnn import DotStatsBatchNorm
+
+            if isinstance(mdl, DotStatsBatchNorm) and not (
+                mdl.use_running_average or mdl.is_initializing()
+            ):
+                raise NotImplementedError(
+                    "accum_mode='grouped' supports normalization='batch' "
+                    "(flax nn.BatchNorm) only; use accum_mode='ghost' with "
+                    f"{type(mdl).__name__}"
+                )
+            return next_fun(*args, **kwargs)
+        if mdl.is_initializing():
+            return next_fun(*args, **kwargs)
+        use_running_average = fmodule.merge_param(
+            "use_running_average",
+            mdl.use_running_average,
+            kwargs.get(
+                "use_running_average", args[1] if len(args) > 1 else None
+            ),
+        )
+        if use_running_average:
+            return next_fun(*args, **kwargs)
+        if kwargs.get("mask") is not None:
+            return next_fun(*args, **kwargs)
+
+        x = args[0]
+        n = x.shape[0]
+        if n % groups:
+            raise ValueError(
+                f"grouped BatchNorm: batch {n} not divisible by "
+                f"{groups} groups"
+            )
+        feature_axes = fnorm._canonicalize_axes(x.ndim, mdl.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes
+        )
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (
+            jnp.float32
+            if mdl.force_float32_reductions
+            else mdl.param_dtype
+        )
+        ra_mean = mdl.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, stats_dtype), feature_shape,
+        )
+        ra_var = mdl.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, stats_dtype), feature_shape,
+        )
+
+        # [G, B, ...]: group-major flat batch (the grouped train step
+        # reshapes the [A, B, ...] superbatch with A major, so group i is
+        # the i-th microbatch of the sequential reference loop).
+        xg = x.reshape((groups, n // groups) + x.shape[1:])
+        means, vars_ = jax.vmap(
+            lambda xi: fnorm._compute_stats(
+                xi,
+                reduction_axes,
+                dtype=mdl.dtype,
+                use_fast_variance=mdl.use_fast_variance,
+                force_float32_reductions=mdl.force_float32_reductions,
+            )
+        )(xg)
+
+        m = mdl.momentum
+        w = (m ** jnp.arange(groups - 1, -1, -1)).astype(stats_dtype)
+
+        def chain(r0, s):
+            wr = w.reshape((groups,) + (1,) * r0.ndim)
+            return (m ** groups) * r0 + ((1 - m) * s * wr).sum(axis=0)
+
+        ra_mean.value = chain(ra_mean.value, means)
+        ra_var.value = chain(ra_var.value, vars_)
+
+        y = jax.vmap(
+            lambda xi, mi, vi: fnorm._normalize(
+                mdl, xi, mi, vi, reduction_axes, feature_axes,
+                mdl.dtype, mdl.param_dtype, mdl.epsilon,
+                mdl.use_bias, mdl.use_scale,
+                mdl.bias_init, mdl.scale_init,
+                mdl.force_float32_reductions,
+            )
+        )(xg, means, vars_)
+        return y.reshape(x.shape)
+
+    return interceptor

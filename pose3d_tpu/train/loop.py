@@ -150,7 +150,7 @@ def train_model(
     max_epochs: int = 10_000,
     rng: Optional[jax.Array] = None,
     compat_pa_metric: bool = False,
-    accum_mode: str = "ghost",
+    accum_mode: str = "grouped",
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 

@@ -65,7 +65,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     state_sharding: str = "replicated",
-    accum_mode: str = "ghost",
+    accum_mode: str = "grouped",
     bn_momentum: float = 0.9,
 ):
     """Build the jitted train step.
@@ -78,7 +78,7 @@ def make_train_step(
 
     ``accum_mode`` selects how the A microbatches are accumulated:
 
-    * ``"ghost"`` (default) — ghost-BatchNorm superbatch: ONE forward/
+    * ``"ghost"`` — ghost-BatchNorm superbatch: ONE forward/
       backward over all A·B samples, with the per-microbatch loss vmapped
       over the accumulation axis so every BatchNorm instance computes its
       batch statistics over its own group of B samples. Mathematically
@@ -91,6 +91,20 @@ def make_train_step(
       ``bn_momentum`` must match the BatchNorm modules' momentum (0.9
       everywhere in this repo, matching torch's default EMA in the
       reference models).
+    * ``"grouped"`` (default) — same ghost-BatchNorm semantics, but instead of
+      vmapping the model the superbatch is flattened to ONE [A·B] batch
+      and the per-group statistics are computed *inside* every BatchNorm
+      call via ``nn.intercept_methods`` (train/ghost_bn.py). The model
+      then compiles to the exact program of the fast A=1 configuration
+      (the ghost vmap costs ~25-30 ms/step of copies on the 500px CNN,
+      docs/ROUND3.md). BN statistics, the EMA chain and gradients match
+      the scan path exactly; dropout masks are iid-equivalent but not
+      bitwise equal (one flat mask instead of per-group fold_in masks) —
+      so "ghost" remains the mode with provable bit-level dropout parity.
+      Requires normalization="batch" (flax BN; the custom DotStats/Pallas
+      BN variants are rejected at trace time). Same-session chip A/B at
+      the reference's 10×10 config: grouped 278.1 vs ghost 257.4 img/s
+      (100×1 control 281.6).
     * ``"scan"`` — sequential ``lax.scan`` over microbatches (one
       forward/backward per microbatch, the literal analogue of the
       reference's accumulation loop, src/train.py:83-121). Kept as the
@@ -103,7 +117,7 @@ def make_train_step(
     where pose3d_tpu.parallel.shard_state_for_tp pre-places the params and
     GSPMD propagates (and keeps) their layouts.
     """
-    if accum_mode not in ("ghost", "scan"):
+    if accum_mode not in ("ghost", "grouped", "scan"):
         raise ValueError(f"unknown accum_mode {accum_mode!r}")
 
     def scan_step(state, batch, rng):
@@ -161,6 +175,43 @@ def make_train_step(
         batch_stats = jax.tree_util.tree_map(chain, state.batch_stats, gstats)
         return _apply_update(state, grads, batch_stats, comps_seq)
 
+    def grouped_step(state, batch, rng):
+        import flax.linen as nn
+
+        from pose3d_tpu.train.ghost_bn import ghost_batchnorm_interceptor
+
+        apply_fn = state.apply_fn
+        accum = batch["image"].shape[0]
+        # Group-major flatten: sample a*B+b is microbatch a's b-th sample,
+        # so BatchNorm group i inside the interceptor IS the i-th
+        # sequential microbatch. (On a mesh the [A, B-sharded] -> [A*B]
+        # merge resharding is handled by GSPMD; on one chip it is free.)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch
+        )
+
+        def loss_fn(params, bstats):
+            micro = decompact_batch(flat)
+            with nn.intercept_methods(ghost_batchnorm_interceptor(accum)):
+                out, muts = apply_fn(
+                    {"params": params, "batch_stats": bstats},
+                    micro["image"], micro["depth"], micro["keypoints_2d"],
+                    train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+            loss, comps = composite_pose_loss(
+                out, micro["joints_3d"], weights
+            )
+            return loss, (comps, muts["batch_stats"])
+
+        # mean loss over the flat batch == mean of per-microbatch means
+        # (equal group sizes), so gradients match the scan/ghost scaling
+        # (reference src/train.py:89 loss/accum).
+        (_, (comps, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats)
+        return _apply_update(state, grads, batch_stats, comps)
+
     def _apply_update(state, grads, batch_stats, comps_seq):
         updates, opt_state = state.tx.update(
             grads, state.opt_state, state.params
@@ -175,7 +226,11 @@ def make_train_step(
         metrics = jax.tree_util.tree_map(jnp.mean, comps_seq)
         return new_state, metrics
 
-    step = ghost_step if accum_mode == "ghost" else scan_step
+    step = {
+        "ghost": ghost_step,
+        "grouped": grouped_step,
+        "scan": scan_step,
+    }[accum_mode]
 
     if mesh is not None:
         # prefix pytree: one spec applied to every leaf of the batch dict

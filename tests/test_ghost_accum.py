@@ -104,6 +104,71 @@ def test_ghost_matches_scan(setup, accum):
     assert int(s_ghost.step) == int(state.step) + 1
 
 
+@pytest.mark.parametrize("accum", [1, 3])
+def test_grouped_matches_scan(accum):
+    """accum_mode="grouped" (flat batch + interceptor ghost-BN,
+    train/ghost_bn.py) ≡ scan, with dropout OFF: grouped mode draws one
+    flat dropout mask instead of per-group fold_in masks (identical in
+    distribution, not bitwise), so the exact comparison disables dropout;
+    BN statistics, the EMA chain, gradients and loss components must all
+    match to reduction-order noise."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, regression_dropout=0.0)
+    model, variables = init_model(cfg, batch_size=4, dtype=jnp.float32)
+    state = create_train_state(model, variables, tx=optax.sgd(1e-2))
+
+    rng = np.random.default_rng(42 + accum)
+    batch = _batch(rng, accum, 4)
+    key = jax.random.PRNGKey(7)
+
+    scan_step = make_train_step(model, donate=False, accum_mode="scan")
+    grouped_step = make_train_step(model, donate=False,
+                                   accum_mode="grouped")
+
+    s_scan, m_scan = jax.device_get(scan_step(state, batch, key))
+    s_grp, m_grp = jax.device_get(grouped_step(state, batch, key))
+
+    for k in m_scan:
+        np.testing.assert_allclose(
+            m_scan[k], m_grp[k], rtol=1e-5, atol=1e-5, err_msg=k
+        )
+    _tree_allclose(s_scan.params, s_grp.params, 2e-4, 1e-5, "params")
+    _tree_allclose(
+        s_scan.batch_stats, s_grp.batch_stats, 2e-4, 1e-5, "batch_stats"
+    )
+    assert int(s_grp.step) == int(state.step) + 1
+
+
+def test_grouped_dropout_smoke(setup):
+    """With dropout ON grouped mode still trains (finite loss/params) —
+    masks are iid-equivalent to the scan path's, just not bitwise equal."""
+    model, state = setup
+    step = make_train_step(model, donate=False, accum_mode="grouped")
+    batch = _batch(np.random.default_rng(3), 2, 4)
+    s, m = jax.device_get(step(state, batch, jax.random.PRNGKey(0)))
+    assert all(np.isfinite(v) for v in jax.tree_util.tree_leaves(m))
+    assert all(
+        np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(s.params)
+    )
+
+
+def test_grouped_rejects_custom_bn():
+    """The interceptor must refuse DotStatsBatchNorm instead of silently
+    computing whole-batch statistics."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, regression_dropout=0.0, normalization="batch_dot"
+    )
+    model, variables = init_model(cfg, batch_size=4, dtype=jnp.float32)
+    state = create_train_state(model, variables, tx=optax.sgd(1e-2))
+    step = make_train_step(model, donate=False, accum_mode="grouped")
+    batch = _batch(np.random.default_rng(5), 2, 4)
+    with pytest.raises(NotImplementedError, match="grouped"):
+        step(state, batch, jax.random.PRNGKey(0))
+
+
 def test_ghost_matches_scan_over_multiple_steps(setup):
     """Chained sanity over 4 optimizer steps with fresh data each step.
 

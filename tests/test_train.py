@@ -145,6 +145,30 @@ def test_train_step_on_virtual_mesh(setup):
     )
 
 
+def test_grouped_step_on_virtual_mesh(setup):
+    """accum_mode="grouped" under data parallelism: the [A, B-sharded] ->
+    [A*B] merge reshape plus per-group BN statistics must survive GSPMD
+    (groups span device shards; the small [G,C] stat reductions reshard).
+    Metrics must match the unsharded grouped execution."""
+    model, variables = init_model(TINY, batch_size=2)
+    mesh = make_mesh((-1,), ("data",))
+    state = create_train_state(model, variables)
+    step = make_train_step(
+        model, mesh=mesh, donate=False, accum_mode="grouped"
+    )
+    rng = np.random.default_rng(9)
+    batch = _batch(rng, 2, 8)
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["total_loss"])
+
+    step1 = make_train_step(model, donate=False, accum_mode="grouped")
+    state1 = create_train_state(model, variables)
+    _, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+    m1 = jax.device_get(m1)
+    np.testing.assert_allclose(m["total_loss"], m1["total_loss"], rtol=2e-2)
+
+
 def test_predict_fn_sharded(setup):
     model, state = setup
     mesh = make_mesh()
