@@ -25,6 +25,7 @@ from pose3d_tpu.core.config import GlobalConfig, make_model_config
 from pose3d_tpu.core.mesh import make_data_mesh_for_batch
 from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
 from pose3d_tpu.models import init_model
+from pose3d_tpu.ops.augment_device import make_device_augment
 from pose3d_tpu.ops.losses import LossWeights
 from pose3d_tpu.train import create_train_state, train_model
 from pose3d_tpu.train.checkpoint import load_checkpoint_meta, restore_train_state
@@ -70,7 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tensorboard", action="store_true",
                    help="Disable TensorBoard logging (skips TF import)")
     p.add_argument("--augment", action="store_true",
-                   help="Enable data augmentation on the train set")
+                   help="Enable data augmentation on the train set "
+                        "(host-side, reference-parity path)")
+    p.add_argument("--augment-device", action="store_true",
+                   help="Run augmentation ON DEVICE inside the jitted "
+                        "train step (ops/augment_device): flip/rotate/"
+                        "scale/translate fused into one batched affine "
+                        "resample + color jitter. Same distributions as "
+                        "--augment with the host CPU cost removed")
     p.add_argument("--absolute-pose", action="store_true",
                    help="Train on absolute camera-space joints (DEP-P) "
                         "instead of root-relative (IND-P)")
@@ -255,7 +263,10 @@ def main(argv=None):
     train_ds = StreamingChunkedDataset(
         "train", args.chunks_dir, chunk_indices=args.train_chunks,
         image_size=image_size, cache_dir=cache_dir,
-        use_augmentation=args.augment or cfg.use_augmentation,
+        use_augmentation=(
+            not args.augment_device
+            and (args.augment or cfg.use_augmentation)
+        ),
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
         shard_id=shard_id, num_shards=num_shards,
     )
@@ -296,6 +307,7 @@ def main(argv=None):
         rng=jax.random.PRNGKey(cfg.random_seed),
         compat_pa_metric=args.compat_pa_metric,
         accum_mode=args.accum_mode,
+        augment=(make_device_augment() if args.augment_device else None),
     )
     logger.info("Training complete at step %d", last_step)
     writer.close()

@@ -151,6 +151,7 @@ def train_model(
     rng: Optional[jax.Array] = None,
     compat_pa_metric: bool = False,
     accum_mode: str = "grouped",
+    augment=None,
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -173,7 +174,7 @@ def train_model(
     is_primary = jax.process_index() == 0
 
     train_step = make_train_step(model, loss_weights, mesh=mesh,
-                                 accum_mode=accum_mode)
+                                 accum_mode=accum_mode, augment=augment)
     eval_step = make_eval_step(
         model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric,
         per_sample=True,

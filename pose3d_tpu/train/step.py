@@ -48,8 +48,12 @@ def decompact_batch(batch):
     return out
 
 
-def _loss_fn(params, batch_stats, apply_fn, micro, rng, weights):
+def _loss_fn(params, batch_stats, apply_fn, micro, rng, weights,
+             augment=None):
     micro = decompact_batch(micro)
+    if augment is not None:
+        rng, k_aug = jax.random.split(rng)
+        micro = augment(micro, k_aug)
     out, muts = apply_fn(
         {"params": params, "batch_stats": batch_stats},
         micro["image"], micro["depth"], micro["keypoints_2d"],
@@ -67,6 +71,7 @@ def make_train_step(
     state_sharding: str = "replicated",
     accum_mode: str = "grouped",
     bn_momentum: float = 0.9,
+    augment=None,
 ):
     """Build the jitted train step.
 
@@ -111,6 +116,11 @@ def make_train_step(
       equivalence oracle and for memory-constrained configs where the
       A·B-sample activation footprint of "ghost" does not fit.
 
+    ``augment``: optional in-jit augmentation callable
+    ``(batch, key) -> batch`` applied after decompaction, before the
+    model (ops/augment_device.make_device_augment) — device-side
+    augmentation with per-sample randomness derived from the step rng.
+
     ``state_sharding``: "replicated" pins the whole state replicated over
     the mesh (pure data parallelism); "auto" leaves state shardings to the
     committed placement of the input arrays — used for tensor parallelism,
@@ -129,7 +139,7 @@ def make_train_step(
             rng_i = jax.random.fold_in(rng, i)
             (loss, (comps, new_bstats)), g = jax.value_and_grad(
                 _loss_fn, has_aux=True
-            )(params, bstats, apply_fn, micro, rng_i, weights)
+            )(params, bstats, apply_fn, micro, rng_i, weights, augment)
             grads = jax.tree_util.tree_map(jnp.add, grads, g)
             return (params, new_bstats, grads, i + 1), comps
 
@@ -152,8 +162,8 @@ def make_train_step(
                 jnp.arange(accum)
             )
             losses, (comps, gstats) = jax.vmap(
-                _loss_fn, in_axes=(None, None, None, 0, 0, None)
-            )(params, bstats, apply_fn, batch, rngs, weights)
+                _loss_fn, in_axes=(None, None, None, 0, 0, None, None)
+            )(params, bstats, apply_fn, batch, rngs, weights, augment)
             return losses.mean(), (comps, gstats)
 
         (_, (comps_seq, gstats)), grads = jax.value_and_grad(
@@ -192,6 +202,10 @@ def make_train_step(
 
         def loss_fn(params, bstats):
             micro = decompact_batch(flat)
+            if augment is not None:
+                # distinct stream from the dropout rng (which uses `rng`
+                # unfolded); 0x617567 = "aug"
+                micro = augment(micro, jax.random.fold_in(rng, 0x617567))
             with nn.intercept_methods(ghost_batchnorm_interceptor(accum)):
                 out, muts = apply_fn(
                     {"params": params, "batch_stats": bstats},
