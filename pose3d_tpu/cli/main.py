@@ -25,7 +25,10 @@ from pose3d_tpu.core.config import GlobalConfig, make_model_config
 from pose3d_tpu.core.mesh import make_data_mesh_for_batch
 from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
 from pose3d_tpu.models import init_model
-from pose3d_tpu.ops.augment_device import make_device_augment
+from pose3d_tpu.ops.augment_device import (
+    DeviceAugmentConfig,
+    make_device_augment,
+)
 from pose3d_tpu.ops.losses import LossWeights
 from pose3d_tpu.train import create_train_state, train_model
 from pose3d_tpu.train.checkpoint import load_checkpoint_meta, restore_train_state
@@ -75,10 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(host-side, reference-parity path)")
     p.add_argument("--augment-device", action="store_true",
                    help="Run augmentation ON DEVICE inside the jitted "
-                        "train step (ops/augment_device): flip/rotate/"
-                        "scale/translate fused into one batched affine "
-                        "resample + color jitter. Same distributions as "
-                        "--augment with the host CPU cost removed")
+                        "train step (ops/augment_device): flip/scale/"
+                        "translate as batched MXU interpolation matmuls "
+                        "+ color jitter, no host CPU cost. Rotation is "
+                        "OFF in this profile (its scattered-gather "
+                        "resample is pathologically slow on TPU — see "
+                        "the module docstring); enable it with "
+                        "--augment-device-rotation or use host-side "
+                        "--augment for the full reference chain")
+    p.add_argument("--augment-device-rotation", action="store_true",
+                   help="Include rotation in --augment-device (gather "
+                        "path; measured ~13x step slowdown on the dev "
+                        "chip at the full 500px config)")
     p.add_argument("--absolute-pose", action="store_true",
                    help="Train on absolute camera-space joints (DEP-P) "
                         "instead of root-relative (IND-P)")
@@ -307,7 +318,12 @@ def main(argv=None):
         rng=jax.random.PRNGKey(cfg.random_seed),
         compat_pa_metric=args.compat_pa_metric,
         accum_mode=args.accum_mode,
-        augment=(make_device_augment() if args.augment_device else None),
+        augment=(
+            make_device_augment(DeviceAugmentConfig(
+                enable_rotation=args.augment_device_rotation,
+            ))
+            if args.augment_device else None
+        ),
     )
     logger.info("Training complete at step %d", last_step)
     writer.close()

@@ -27,8 +27,25 @@ host augmentor's numpy stream, same distributions.
 
 Matrix conventions: each stage is a forward pixel-space map p_dst = M p_src
 (cv2.warpAffine semantics — cv2 inverts internally; so do we). The
-composite M = T @ S @ R @ F is inverted analytically and the gather
-samples src = M^-1 @ dst.
+composite M = T @ S @ R @ F is inverted analytically and the resample
+evaluates src = M^-1 @ dst.
+
+Performance (measured on the v5e dev chip, [100, 500, 500] fp32):
+scattered-index sampling is pathological on TPU — ``map_coordinates``
+costs ~1.3 s and per-element ``take_along_axis`` ~0.65 s per pass, while
+shared-index column takes and one-hot matmuls both run at ~4.5 ms (the
+bandwidth floor). So:
+
+  * With rotation DISABLED the composite affine is axis-separable
+    (diag + translate + flip, all per-sample-uniform) and the warp runs
+    as TWO batched interpolation-matrix matmuls on the MXU
+    (``_separable_warp``): exact bilinear/nearest, ~milliseconds.
+  * With rotation enabled the per-line offsets force scattered access
+    and the warp falls back to ``map_coordinates`` — ~4.6 s/step at the
+    full 500px batch-100 config on THIS chip (gather-bound, a platform
+    limitation; a Mosaic dynamic-gather kernel is the eventual fix).
+    Prefer host augmentation (``--augment``) when rotation is required
+    and host cores are available.
 """
 
 from __future__ import annotations
@@ -60,6 +77,9 @@ class DeviceAugmentConfig:
     enable_translate: bool = True
     enable_color: bool = True
     symmetric_joints: Sequence[Tuple[int, int]] = SYMMETRIC_JOINTS_H36M
+    # None = auto (separable MXU path whenever rotation is disabled);
+    # False forces the gather path (testing / comparison).
+    separable: bool | None = None
 
 
 def _affine_inverse(m):
@@ -106,6 +126,36 @@ def _warp_one(img, inv, h, w, order):
         ],
         axis=-1,
     )
+
+
+def _axis_weights(pos, n, order):
+    """Interpolation matrix [B, N_in, N_out] for per-sample-uniform 1-D
+    positions ``pos`` [B, N_out]: bilinear triangle weights (order 1) or
+    floor(p+0.5) one-hot (order 0, matching map_coordinates' nearest).
+    Out-of-range positions get vanishing column weight — identical to
+    mode="constant", cval=0."""
+    k = jnp.arange(n, dtype=jnp.float32)[None, :, None]  # [1, N_in, 1]
+    p = pos[:, None, :]  # [B, 1, N_out]
+    if order == 0:
+        return (jnp.floor(p + 0.5) == k).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p - k))
+
+
+def _separable_warp(x, inv, order):
+    """Axis-separable warp (inv has zero off-diagonal linear terms) as two
+    batched interpolation-matrix contractions on the MXU — the TPU-native
+    resample for the no-rotation configs (see module docstring perf
+    notes). Exact tensor-product bilinear/nearest, fp32 accumulation."""
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    j = jnp.arange(W, dtype=jnp.float32)[None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[None, :]
+    px = inv[:, 0, 0:1] * j + inv[:, 0, 2:3]  # [B, W_out]
+    py = inv[:, 1, 1:2] * y + inv[:, 1, 2:3]  # [B, H_out]
+    wx = _axis_weights(px, W, order)  # [B, W_in, W_out]
+    wy = _axis_weights(py, H, order)  # [B, H_in, H_out]
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("bhwc,bwj->bhjc", x, wx, precision=hi)
+    return jnp.einsum("bkjc,bky->byjc", t, wy, precision=hi)
 
 
 def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
@@ -242,16 +292,31 @@ def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
         )
         if geometric:
             inv = _affine_inverse(mat)
-            img = jax.vmap(
-                lambda im, iv: _warp_one(
-                    im.astype(jnp.float32), iv, H, W, order=1
+            use_separable = (
+                not cfg.enable_rotation
+                if cfg.separable is None
+                else cfg.separable
+            )
+            if use_separable and cfg.enable_rotation:
+                raise ValueError(
+                    "separable=True requires enable_rotation=False"
                 )
-            )(img, inv)
-            depth = jax.vmap(
-                lambda im, iv: _warp_one(
-                    im.astype(jnp.float32), iv, H, W, order=0
+            if use_separable:
+                img = _separable_warp(img.astype(jnp.float32), inv, order=1)
+                depth = _separable_warp(
+                    depth.astype(jnp.float32), inv, order=0
                 )
-            )(depth, inv)
+            else:
+                img = jax.vmap(
+                    lambda im, iv: _warp_one(
+                        im.astype(jnp.float32), iv, H, W, order=1
+                    )
+                )(img, inv)
+                depth = jax.vmap(
+                    lambda im, iv: _warp_one(
+                        im.astype(jnp.float32), iv, H, W, order=0
+                    )
+                )(depth, inv)
             if cfg.enable_scale:
                 # Host parity at the scale-crop seam: the host composites
                 # the resized image onto the canvas as

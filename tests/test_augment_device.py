@@ -167,6 +167,32 @@ def test_blob_follows_keypoint():
         assert abs(py - kp2[1] * H) <= 2.0, (seed, py, kp2[1] * H)
 
 
+def test_separable_matches_gather_path():
+    """The MXU separable warp (auto when rotation is off) must equal the
+    general gather path bit-for-bit in fp32 (same bilinear/nearest math,
+    different execution strategy)."""
+    rng = np.random.default_rng(11)
+    s = _sample(rng)
+    batch = {k: jnp.asarray(v)[None] for k, v in s.items()}
+    kw = dict(
+        enable_rotation=False,
+        flip_prob=0.5,
+        scale_range=(0.82, 1.17),
+        translate_range=(-0.07, 0.07),
+    )
+    fast = jax.jit(make_device_augment(DeviceAugmentConfig(**kw)))
+    slow = jax.jit(
+        make_device_augment(DeviceAugmentConfig(separable=False, **kw))
+    )
+    for seed in range(3):
+        a = jax.device_get(fast(batch, jax.random.PRNGKey(seed)))
+        b = jax.device_get(slow(batch, jax.random.PRNGKey(seed)))
+        for k in ("image", "depth", "keypoints_2d", "joints_3d"):
+            np.testing.assert_allclose(
+                a[k], b[k], rtol=0, atol=1e-5, err_msg=f"{k}@{seed}"
+            )
+
+
 def test_per_sample_variety_and_determinism():
     rng = np.random.default_rng(5)
     s1, s2 = _sample(rng), _sample(rng)
