@@ -65,7 +65,8 @@ def _device_batch(accum: int, batch: int, size: int = 500, joints: int = 17):
 
 def bench_train(model, variables, accum: int, batch: int,
                 warmup: int = 3, reps: int = 5,
-                accum_mode: str = "grouped", size: int = 500) -> float:
+                accum_mode: str = "grouped", size: int = 500,
+                augment=None) -> float:
     """Images/sec of the full train step (fwd+bwd+accum+optimizer)."""
     import jax
 
@@ -77,7 +78,8 @@ def bench_train(model, variables, accum: int, batch: int,
         lambda x: jax.numpy.array(x, copy=True), variables
     )
     state = create_train_state(model, variables)
-    step = make_train_step(model, donate=True, accum_mode=accum_mode)
+    step = make_train_step(model, donate=True, accum_mode=accum_mode,
+                           augment=augment)
     superbatch = _device_batch(accum, batch, size=size)
     key = jax.device_put(jax.random.PRNGKey(0))
 
@@ -94,6 +96,23 @@ def bench_train(model, variables, accum: int, batch: int,
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), f"non-finite training loss {loss}"
     return accum * batch * reps / dt
+
+
+def bench_train_augmented(model, variables) -> float:
+    """Train step with in-jit separable device augmentation (the CLI's
+    --augment-device profile: flip/scale/translate/color as MXU
+    interpolation matmuls, rotation off — ops/augment_device.py)."""
+    from pose3d_tpu.ops.augment_device import (
+        DeviceAugmentConfig,
+        make_device_augment,
+    )
+
+    return bench_train(
+        model, variables, accum=10, batch=10,
+        augment=make_device_augment(
+            DeviceAugmentConfig(enable_rotation=False)
+        ),
+    )
 
 
 def bench_forward(model, variables, batch: int = 10, k: int = 20,
@@ -220,6 +239,8 @@ def main():
                              accum_mode="ghost")),
         ("train_step_b100x1_images_per_sec",
          lambda: bench_train(model, variables, accum=1, batch=100)),
+        ("train_step_augmented_images_per_sec",
+         lambda: bench_train_augmented(model, variables)),
         ("forward_b10_images_per_sec",
          lambda: bench_forward(model, variables, batch=10)),
         ("vit_train_step_b8_ms", bench_vit_train),

@@ -104,6 +104,8 @@ def test_full_pipeline(tmp_path, monkeypatch):
         "--model-type", "cnn", "--model-args", TINY_CNN_ARGS,
         "--num-steps", "2", "--batch-size", "2", "--grad-accum", "2",
         "--eval-interval", "2", "--no-tensorboard",
+        # exercises the in-jit separable augmentation path end-to-end
+        "--augment-device",
     ])
     assert last_step == 2
     ckpt = Path("model_epoch__cnn_step_2")
