@@ -135,7 +135,13 @@ def main(argv=None):
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
 
     apply_tpu_workarounds()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.augment_device_rotation and not args.augment_device:
+        parser.error("--augment-device-rotation requires --augment-device")
+    if args.augment and args.augment_device:
+        parser.error("--augment (host) and --augment-device are mutually "
+                     "exclusive — pick one augmentation path")
     cfg = GlobalConfig()
 
     from pose3d_tpu.core.mesh import host_shard_info, initialize_distributed

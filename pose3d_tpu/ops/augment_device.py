@@ -325,8 +325,13 @@ def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
                 # would keep a partial last row/column (bilinear tail into
                 # the source edge). Mask the content box, shifted by any
                 # later translation.
-                cw = jnp.floor(wf * scale_f)[:, None, None]
-                ch = jnp.floor(hf * scale_f)[:, None, None]
+                # min(canvas, scaled) like the host's canvas[:ch, :cw] =
+                # img_s[:ch, :cw]: for f>1 the content box is the CROPPED
+                # canvas, so a later negative translation must expose
+                # border zeros, not the cropped-away content the composed
+                # affine would otherwise see through to.
+                cw = jnp.minimum(jnp.floor(wf * scale_f), wf)[:, None, None]
+                ch = jnp.minimum(jnp.floor(hf * scale_f), hf)[:, None, None]
                 xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
                 ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
                 inside = (

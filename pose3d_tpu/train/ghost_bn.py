@@ -45,6 +45,23 @@ from flax.linen import module as fmodule
 from flax.linen import normalization as fnorm
 
 
+def ema_chain(r0, increments, momentum):
+    """Closed form of the A-fold sequential EMA chain
+    r_{i+1} = m*r_i + inc_i, telescoped:
+
+        r_A = m^A * r_0 + sum_i m^(A-1-i) * inc_i.
+
+    ``increments`` is stacked [A, ...]. The grouped interceptor passes
+    inc_i = (1-m)*s_i (raw per-group statistics); the vmapped ghost step
+    passes inc_i = g_i - m*r_0 (recovered from the per-group *updated*
+    stats g_i = m*r_0 + (1-m)*s_i that vmapped BatchNorm returns). Both
+    are the same chain — one shared source of truth for the formula."""
+    g = increments.shape[0]
+    w = (momentum ** jnp.arange(g - 1, -1, -1)).astype(r0.dtype)
+    wr = w.reshape((g,) + (1,) * r0.ndim)
+    return (momentum ** g) * r0 + (increments * wr).sum(axis=0)
+
+
 def ghost_batchnorm_interceptor(groups: int):
     """Build an ``nn.intercept_methods`` interceptor computing BatchNorm
     statistics per group of ``batch_size // groups`` samples.
@@ -129,14 +146,8 @@ def ghost_batchnorm_interceptor(groups: int):
         )(xg)
 
         m = mdl.momentum
-        w = (m ** jnp.arange(groups - 1, -1, -1)).astype(stats_dtype)
-
-        def chain(r0, s):
-            wr = w.reshape((groups,) + (1,) * r0.ndim)
-            return (m ** groups) * r0 + ((1 - m) * s * wr).sum(axis=0)
-
-        ra_mean.value = chain(ra_mean.value, means)
-        ra_var.value = chain(ra_var.value, vars_)
+        ra_mean.value = ema_chain(ra_mean.value, (1 - m) * means, m)
+        ra_var.value = ema_chain(ra_var.value, (1 - m) * vars_, m)
 
         y = jax.vmap(
             lambda xi, mi, vi: fnorm._normalize(

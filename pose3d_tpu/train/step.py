@@ -170,19 +170,17 @@ def make_train_step(
             mean_loss, has_aux=True
         )(state.params, state.batch_stats)
 
-        # Closed-form A-fold EMA chain over the per-group batch stats.
-        # Each vmapped group updated from the same r_0:
-        #   g_i = m·r_0 + (1-m)·s_i  ⇒  (1-m)·s_i = g_i − m·r_0,
-        # and the sequential chain r_{i+1} = m·r_i + (1-m)·s_i telescopes to
-        #   r_A = m^A·r_0 + Σ_i m^(A-1-i)·(g_i − m·r_0).
+        # Closed-form A-fold EMA chain over the per-group batch stats
+        # (shared formula: train/ghost_bn.ema_chain). Each vmapped group
+        # updated from the same r_0: g_i = m·r_0 + (1-m)·s_i, so the
+        # chain increments are g_i − m·r_0.
+        from pose3d_tpu.train.ghost_bn import ema_chain
+
         m = bn_momentum
-        w = (m ** jnp.arange(accum - 1, -1, -1)).astype(jnp.float32)
-
-        def chain(r0, g):
-            wr = w.reshape((accum,) + (1,) * r0.ndim)
-            return (m ** accum) * r0 + ((g - m * r0) * wr).sum(axis=0)
-
-        batch_stats = jax.tree_util.tree_map(chain, state.batch_stats, gstats)
+        batch_stats = jax.tree_util.tree_map(
+            lambda r0, g: ema_chain(r0, g - m * r0, m),
+            state.batch_stats, gstats,
+        )
         return _apply_update(state, grads, batch_stats, comps_seq)
 
     def grouped_step(state, batch, rng):

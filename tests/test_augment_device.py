@@ -115,6 +115,30 @@ def test_scale_geometry_exact_image_close(f):
         assert np.abs(host["image"][:, -3:]).max() < 1e-6
 
 
+def test_scale_up_negative_translate_border():
+    """Regression (review finding): scale-up (f>1) CROPS to the canvas,
+    so a later negative translation must expose border zeros — the
+    composed affine would otherwise see through the intermediate crop to
+    content the host path discarded. 0.8*1.15*48 is fractional so both
+    paths' seams align via the min(W, floor(W*f)) box."""
+    kw = {
+        "enable_scale": True, "scale_range": (1.15, 1.15),
+        "enable_translate": True, "translate_range": (-0.125, -0.125),
+    }
+    host, dev = _run_both(kw, kw)
+    _assert_geom(host, dev)
+    # the host's re-exposed border is exactly zero; the device must match
+    # there (this was the bug: unclamped mask leaked cropped-away content
+    # with max diff 0.98); the interior differs only by cv2.resize's
+    # fixed-point bilinear quantization (~1/32)
+    assert np.abs(host["image"][:, -5:]).max() == 0.0
+    assert np.abs(dev["image"][:, -5:]).max() == 0.0
+    assert np.abs(host["image"][-5:]).max() == 0.0
+    assert np.abs(dev["image"][-5:]).max() == 0.0
+    d = np.abs(dev["image"] - host["image"])
+    assert d.max() < 0.05 and d.mean() < 0.01, (d.max(), d.mean())
+
+
 def test_translate_integer_exact():
     # 0.125 * 48 = 6 px exactly -> bilinear shift is an exact copy
     kw = {"enable_translate": True, "translate_range": (0.125, 0.125)}
@@ -242,7 +266,7 @@ def test_train_step_with_device_augment():
         ),
     }
     aug = make_device_augment()
-    for mode in ("grouped", "scan"):
+    for mode in ("grouped", "ghost", "scan"):
         step = make_train_step(
             model, donate=False, accum_mode=mode, augment=aug
         )
