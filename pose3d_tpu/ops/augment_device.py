@@ -77,9 +77,12 @@ class DeviceAugmentConfig:
     enable_translate: bool = True
     enable_color: bool = True
     symmetric_joints: Sequence[Tuple[int, int]] = SYMMETRIC_JOINTS_H36M
-    # None = auto (separable MXU path whenever rotation is disabled);
-    # False forces the gather path (testing / comparison).
-    separable: bool | None = None
+    # Resample strategy: "auto" picks "separable" (two MXU interpolation
+    # matmuls, exact) when rotation is off and "kernel" (two-pass Pallas
+    # lane-resample, sub-pixel two-pass approximation) when rotation is
+    # on; "gather" forces the exact-but-slow map_coordinates path
+    # (reference semantics oracle, testing).
+    resample: str = "auto"
 
 
 def _affine_inverse(m):
@@ -156,6 +159,51 @@ def _separable_warp(x, inv, order):
     hi = jax.lax.Precision.HIGHEST
     t = jnp.einsum("bhwc,bwj->bhjc", x, wx, precision=hi)
     return jnp.einsum("bkjc,bky->byjc", t, wy, precision=hi)
+
+
+def _twopass_warp(x, inv, order, interpret):
+    """General affine warp as two Pallas lane-resample passes
+    (ops/pallas/lane_resample): horizontal rows first, then vertical
+    (on the transposed intermediate), the classic two-pass decomposition
+    (Catmull-Smith). Exact along x; the vertical pass interpolates
+    between rows whose horizontal positions differ by the shear slope,
+    a sub-pixel approximation bounded by |i01/i11| pixels — negligible
+    for the augmentor's ±30° range. Requires i11 != 0 (true for any
+    rotation under ±90° composed with positive scale; flips only touch
+    the x row of the matrix).
+
+    Derivation: out[y,x] = I[y_src, x_src] with src = inv @ (x, y, 1).
+    Pass 1 builds tmp[y, x] = I[y, q(x, y)], q = a*x + b*y + c with
+    b = i01/i11, a = i00 - b*i10, c = i02 - b*i12; pass 2 samples
+    out[y, x] = tmp[i10*x + i11*y + i12, x], so q evaluated at the
+    pass-2 row equals x_src identically."""
+    from pose3d_tpu.ops.pallas.lane_resample import lane_resample
+
+    B, H, W, C = x.shape
+    i00, i01, i02 = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
+    i10, i11, i12 = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
+    b = i01 / i11
+    a = i00 - b * i10
+    c = i02 - b * i12
+
+    xc = jnp.moveaxis(x, -1, 1)  # [B, C, H, W]
+    rows = xc.reshape(B * C * H, W)
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :]
+    o1 = b[:, None] * ys + c[:, None]                      # [B, H]
+    a1 = jnp.broadcast_to(a[:, None, None], (B, C, H)).reshape(-1)
+    o1 = jnp.broadcast_to(o1[:, None, :], (B, C, H)).reshape(-1)
+    tmp = lane_resample(rows, a1, o1, order=order,
+                        interpret=interpret).reshape(B, C, H, W)
+
+    tt = tmp.swapaxes(2, 3)      # [B, C, W, H]
+    rows2 = tt.reshape(B * C * W, H)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    o2 = i10[:, None] * xs + i12[:, None]                  # [B, W]
+    a2 = jnp.broadcast_to(i11[:, None, None], (B, C, W)).reshape(-1)
+    o2 = jnp.broadcast_to(o2[:, None, :], (B, C, W)).reshape(-1)
+    out = lane_resample(rows2, a2, o2, order=order,
+                        interpret=interpret).reshape(B, C, W, H)
+    return jnp.moveaxis(out.swapaxes(2, 3), 1, -1)
 
 
 def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
@@ -292,21 +340,29 @@ def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
         )
         if geometric:
             inv = _affine_inverse(mat)
-            use_separable = (
-                not cfg.enable_rotation
-                if cfg.separable is None
-                else cfg.separable
-            )
-            if use_separable and cfg.enable_rotation:
-                raise ValueError(
-                    "separable=True requires enable_rotation=False"
-                )
-            if use_separable:
+            mode = cfg.resample
+            if mode == "auto":
+                mode = "separable" if not cfg.enable_rotation else "kernel"
+            if mode == "separable":
+                if cfg.enable_rotation:
+                    raise ValueError(
+                        "resample='separable' requires "
+                        "enable_rotation=False"
+                    )
                 img = _separable_warp(img.astype(jnp.float32), inv, order=1)
                 depth = _separable_warp(
                     depth.astype(jnp.float32), inv, order=0
                 )
-            else:
+            elif mode == "kernel":
+                interp = jax.default_backend() != "tpu"
+                img = _twopass_warp(
+                    img.astype(jnp.float32), inv, order=1, interpret=interp
+                )
+                depth = _twopass_warp(
+                    depth.astype(jnp.float32), inv, order=0,
+                    interpret=interp,
+                )
+            elif mode == "gather":
                 img = jax.vmap(
                     lambda im, iv: _warp_one(
                         im.astype(jnp.float32), iv, H, W, order=1
@@ -317,6 +373,8 @@ def make_device_augment(cfg: DeviceAugmentConfig = DeviceAugmentConfig()):
                         im.astype(jnp.float32), iv, H, W, order=0
                     )
                 )(depth, inv)
+            else:
+                raise ValueError(f"unknown resample mode {mode!r}")
             if cfg.enable_scale:
                 # Host parity at the scale-crop seam: the host composites
                 # the resized image onto the canvas as

@@ -206,7 +206,7 @@ def test_separable_matches_gather_path():
     )
     fast = jax.jit(make_device_augment(DeviceAugmentConfig(**kw)))
     slow = jax.jit(
-        make_device_augment(DeviceAugmentConfig(separable=False, **kw))
+        make_device_augment(DeviceAugmentConfig(resample="gather", **kw))
     )
     for seed in range(3):
         a = jax.device_get(fast(batch, jax.random.PRNGKey(seed)))
@@ -215,6 +215,71 @@ def test_separable_matches_gather_path():
             np.testing.assert_allclose(
                 a[k], b[k], rtol=0, atol=1e-5, err_msg=f"{k}@{seed}"
             )
+
+
+def test_lane_resample_matches_map_coordinates():
+    """The Pallas lane-resample kernel (interpret mode on CPU) must
+    reproduce map_coordinates exactly for both orders, including odd
+    (non-128-multiple) widths and out-of-range constant-0 edges."""
+    from jax.scipy import ndimage as jndi
+
+    from pose3d_tpu.ops.pallas.lane_resample import lane_resample
+
+    rng = np.random.default_rng(0)
+    for w in (50, 200, 500):
+        x = jnp.asarray(rng.uniform(size=(13, w)).astype(np.float32))
+        a = jnp.asarray(
+            rng.uniform(0.7, 1.3, size=(13,)).astype(np.float32)
+        )
+        o = jnp.asarray(
+            rng.uniform(-w * 0.3, w * 0.3, size=(13,)).astype(np.float32)
+        )
+        j = np.arange(w, dtype=np.float32)
+        for order in (0, 1):
+            got = np.asarray(
+                lane_resample(x, a, o, order=order, interpret=True)
+            )
+            ref = np.stack([
+                np.asarray(jndi.map_coordinates(
+                    x[i], [np.asarray(a)[i] * j + np.asarray(o)[i]],
+                    order=order, mode="constant", cval=0.0,
+                ))
+                for i in range(13)
+            ])
+            # atol 2e-4: the kernel computes positions a*iota+o on-device
+            # in fp32; sub-ulp position differences vs the host reference
+            # scale by the local image gradient at tap boundaries
+            np.testing.assert_allclose(
+                got, ref, atol=2e-4, err_msg=f"w={w} order={order}"
+            )
+
+
+def test_kernel_twopass_close_to_gather():
+    """The two-pass kernel warp (rotation path) vs the exact single-pass
+    gather: sub-pixel two-pass shear approximation only — small on
+    smooth images, geometry identical."""
+    rng = np.random.default_rng(13)
+    s = _sample(rng)
+    batch = {k: jnp.asarray(v)[None] for k, v in s.items()}
+    kw = dict(
+        enable_color=False,
+        rotation_range=(-28.0, -28.0),
+        scale_range=(1.1, 1.1),
+        translate_range=(0.04, 0.04),
+        flip_prob=1.0,
+    )
+    kern = jax.jit(make_device_augment(DeviceAugmentConfig(**kw)))
+    gath = jax.jit(
+        make_device_augment(DeviceAugmentConfig(resample="gather", **kw))
+    )
+    a = jax.device_get(kern(batch, jax.random.PRNGKey(1)))
+    b = jax.device_get(gath(batch, jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(
+        a["keypoints_2d"], b["keypoints_2d"], atol=1e-6
+    )
+    np.testing.assert_allclose(a["joints_3d"], b["joints_3d"], atol=1e-4)
+    d = np.abs(a["image"] - b["image"])
+    assert d.mean() < 0.01 and d.max() < 0.2, (d.mean(), d.max())
 
 
 def test_per_sample_variety_and_determinism():
