@@ -39,13 +39,17 @@ bandwidth floor). So:
   * With rotation DISABLED the composite affine is axis-separable
     (diag + translate + flip, all per-sample-uniform) and the warp runs
     as TWO batched interpolation-matrix matmuls on the MXU
-    (``_separable_warp``): exact bilinear/nearest, ~milliseconds.
-  * With rotation enabled the per-line offsets force scattered access
-    and the warp falls back to ``map_coordinates`` — ~4.6 s/step at the
-    full 500px batch-100 config on THIS chip (gather-bound, a platform
-    limitation; a Mosaic dynamic-gather kernel is the eventual fix).
-    Prefer host augmentation (``--augment``) when rotation is required
-    and host cores are available.
+    (``_separable_warp``): exact bilinear/nearest, measured +5 ms on the
+    359 ms full-config train step.
+  * With rotation enabled the per-line (shear) offsets need true
+    dynamic indexing; the warp runs as a TWO-PASS lane resample on the
+    Mosaic dynamic-gather kernel (``_twopass_warp`` over
+    ops/pallas/lane_resample — 5.4 ms per [50000, 500] fp32 pass, vs
+    652 ms for XLA take_along_axis and 1.3 s for map_coordinates).
+    The two-pass decomposition carries a sub-pixel shear approximation
+    (tests/test_augment_device.py bounds it on smooth images).
+  * ``resample="gather"`` keeps the exact single-pass
+    ``map_coordinates`` path as the semantics oracle (slow on TPU).
 """
 
 from __future__ import annotations
