@@ -98,10 +98,12 @@ def bench_train(model, variables, accum: int, batch: int,
     return accum * batch * reps / dt
 
 
-def bench_train_augmented(model, variables) -> float:
-    """Train step with in-jit separable device augmentation (the CLI's
-    --augment-device profile: flip/scale/translate/color as MXU
-    interpolation matmuls, rotation off — ops/augment_device.py)."""
+def bench_train_augmented(model, variables, rotation: bool = False) -> float:
+    """Train step with in-jit device augmentation. rotation=False is the
+    CLI's --augment-device profile (flip/scale/translate/color as MXU
+    interpolation matmuls); rotation=True adds the two-pass Mosaic
+    lane-resample warp (ops/pallas/lane_resample.py — 381 ms/step vs
+    364 separable vs 359 unaugmented, measured round 3)."""
     from pose3d_tpu.ops.augment_device import (
         DeviceAugmentConfig,
         make_device_augment,
@@ -110,7 +112,7 @@ def bench_train_augmented(model, variables) -> float:
     return bench_train(
         model, variables, accum=10, batch=10,
         augment=make_device_augment(
-            DeviceAugmentConfig(enable_rotation=False)
+            DeviceAugmentConfig(enable_rotation=rotation)
         ),
     )
 
@@ -241,6 +243,8 @@ def main():
          lambda: bench_train(model, variables, accum=1, batch=100)),
         ("train_step_augmented_images_per_sec",
          lambda: bench_train_augmented(model, variables)),
+        ("train_step_augmented_rotation_images_per_sec",
+         lambda: bench_train_augmented(model, variables, rotation=True)),
         ("forward_b10_images_per_sec",
          lambda: bench_forward(model, variables, batch=10)),
         ("vit_train_step_b8_ms", bench_vit_train),

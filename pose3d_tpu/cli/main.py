@@ -110,6 +110,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bit-exact dropout parity with 'scan' — "
                         "tests/test_ghost_accum.py); 'scan' runs them "
                         "sequentially (lowest peak activation memory)")
+    p.add_argument("--param-sharding", type=str, default="replicated",
+                   choices=["replicated", "fsdp"],
+                   help="TrainState placement over the device mesh: "
+                        "'replicated' (pure data parallelism) or 'fsdp' "
+                        "(ZeRO-3 — params and optimizer moments sharded "
+                        "over the data axis, ~mesh-size× lower param "
+                        "memory per chip; parallel/fsdp.py)")
     p.add_argument("--vit-weights", type=str, default=None,
                    help="Pretrained timm-format ViT weights "
                         "(.pth/.safetensors, vit_base_patch16_384 family) "
@@ -324,6 +331,7 @@ def main(argv=None):
         rng=jax.random.PRNGKey(cfg.random_seed),
         compat_pa_metric=args.compat_pa_metric,
         accum_mode=args.accum_mode,
+        param_sharding=args.param_sharding,
         augment=(
             make_device_augment(DeviceAugmentConfig(
                 enable_rotation=args.augment_device_rotation,

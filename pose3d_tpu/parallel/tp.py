@@ -100,6 +100,10 @@ def shard_state_for_tp(state, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())),
         state.batch_stats,
     )
+    # commit the step scalar to the mesh too, so the whole state shares one
+    # device set (required by make_train_step's state_like= pinning).
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
     return state.replace(
-        params=params, opt_state=opt_state, batch_stats=batch_stats
+        step=step, params=params, opt_state=opt_state,
+        batch_stats=batch_stats,
     )

@@ -152,6 +152,7 @@ def train_model(
     compat_pa_metric: bool = False,
     accum_mode: str = "grouped",
     augment=None,
+    param_sharding: str = "replicated",
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -173,11 +174,27 @@ def train_model(
     # process would otherwise save into the same directory concurrently.
     is_primary = jax.process_index() == 0
 
-    train_step = make_train_step(model, loss_weights, mesh=mesh,
-                                 accum_mode=accum_mode, augment=augment)
+    if param_sharding == "fsdp" and mesh is not None:
+        # ZeRO-3: params + optimizer moments sharded over the data axis
+        # (parallel/fsdp.py); GSPMD all-gathers at use, reduce-scatters
+        # grads, and the state_like pin keeps the returned state sharded.
+        from pose3d_tpu.parallel import shard_state_for_fsdp
+
+        state = shard_state_for_fsdp(state, mesh)
+        train_step = make_train_step(
+            model, loss_weights, mesh=mesh, accum_mode=accum_mode,
+            augment=augment, state_sharding="auto", state_like=state,
+        )
+    else:
+        train_step = make_train_step(model, loss_weights, mesh=mesh,
+                                     accum_mode=accum_mode, augment=augment)
     eval_step = make_eval_step(
         model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric,
         per_sample=True,
+        state_sharding=(
+            "auto" if param_sharding == "fsdp" and mesh is not None
+            else "replicated"
+        ),
     )
 
     global_step = start_step

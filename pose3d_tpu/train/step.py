@@ -72,6 +72,7 @@ def make_train_step(
     accum_mode: str = "grouped",
     bn_momentum: float = 0.9,
     augment=None,
+    state_like=None,
 ):
     """Build the jitted train step.
 
@@ -123,9 +124,17 @@ def make_train_step(
 
     ``state_sharding``: "replicated" pins the whole state replicated over
     the mesh (pure data parallelism); "auto" leaves state shardings to the
-    committed placement of the input arrays — used for tensor parallelism,
-    where pose3d_tpu.parallel.shard_state_for_tp pre-places the params and
-    GSPMD propagates (and keeps) their layouts.
+    committed placement of the input arrays — used for tensor parallelism
+    and FSDP, where pose3d_tpu.parallel.shard_state_for_{tp,fsdp}
+    pre-places the params and GSPMD propagates their layouts.
+
+    ``state_like``: optional pre-sharded TrainState whose committed
+    placements pin BOTH in_ and out_shardings of the state under
+    ``state_sharding="auto"``. Without it GSPMD is free to pick different
+    output layouts than the inputs (it does — e.g. re-sharding a
+    replicated bias over ``data``), which silently changes the committed
+    placement of the returned state and forces a recompile on the next
+    call. Pass the state you intend to feed the step.
     """
     if accum_mode not in ("ghost", "grouped", "scan"):
         raise ValueError(f"unknown accum_mode {accum_mode!r}")
@@ -249,6 +258,16 @@ def make_train_step(
         batch_sharding = NamedSharding(mesh, P(None, "data"))
         repl = NamedSharding(mesh, P())
         if state_sharding == "auto":
+            if state_like is not None:
+                st_sh = jax.tree_util.tree_map(
+                    lambda x: x.sharding, state_like
+                )
+                return jax.jit(
+                    step,
+                    in_shardings=(st_sh, batch_sharding, repl),
+                    out_shardings=(st_sh, repl),
+                    donate_argnums=(0,) if donate else (),
+                )
             # state layouts flow from the committed input arrays (TP).
             return jax.jit(
                 step,
@@ -267,13 +286,19 @@ def make_train_step(
 def make_eval_step(model, weights: LossWeights = LossWeights(),
                    mesh: Optional[Mesh] = None,
                    compat_pa: bool = False,
-                   per_sample: bool = False):
+                   per_sample: bool = False,
+                   state_sharding: str = "replicated"):
     """Jitted eval step: forward + loss components + MPJPE + PA-MPJPE for
     one batch (reference validation loop body, src/train.py:203-261).
 
     ``per_sample=True`` returns every metric as a [B] vector so the caller
     can mask padded samples (exact validation over ragged final batches
-    without a dynamic-shape recompile)."""
+    without a dynamic-shape recompile).
+
+    ``state_sharding="auto"`` accepts a state with committed non-replicated
+    placements (FSDP/TP) — jit rejects resharding committed args against a
+    pinned replicated spec, so the spec is left to the arrays and GSPMD
+    inserts the all-gathers at use (standard ZeRO-3 eval)."""
     from jax.numpy.linalg import norm as _norm
     from pose3d_tpu.geometry.metrics import procrustes_align
     from pose3d_tpu.ops.losses import composite_pose_loss_per_sample
@@ -309,9 +334,10 @@ def make_eval_step(model, weights: LossWeights = LossWeights(),
     if mesh is not None:
         batch_sharding = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
+        state_spec = None if state_sharding == "auto" else repl
         return jax.jit(
             step,
-            in_shardings=(repl, batch_sharding),
+            in_shardings=(state_spec, batch_sharding),
             out_shardings=(repl, repl),
         )
     return jax.jit(step)
