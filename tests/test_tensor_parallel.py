@@ -69,9 +69,17 @@ def test_tp_train_step_matches_replicated():
     k = s_tp.params["vit_backbone"]["block_0"]["Mlp_0"]["Dense_0"]["kernel"]
     assert k.sharding.spec == P(None, "model")
     step_tp = make_train_step(
-        model, mesh=mesh, donate=False, state_sharding="auto"
+        model, mesh=mesh, donate=False, state_sharding="auto",
+        state_like=s_tp,
     )
     out_tp, m_tp = step_tp(s_tp, batch, key)
+    # the updated state keeps the Megatron layout (state_like pins the
+    # out_shardings; unpinned, GSPMD may emit different output layouts
+    # and force a recompile on the next call)
+    k_out = out_tp.params["vit_backbone"]["block_0"]["Mlp_0"]["Dense_0"][
+        "kernel"
+    ]
+    assert k_out.sharding.spec == P(None, "model")
     loss_tp = float(jax.device_get(m_tp)["total_loss"])
 
     np.testing.assert_allclose(loss_tp, loss_ref, rtol=2e-2)
