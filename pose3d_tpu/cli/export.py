@@ -1,0 +1,103 @@
+"""Export a trained checkpoint to a self-contained serving artifact.
+
+The reference has no deployment path: serving means running the full
+training repo (reference infer.py loads src/models, torch, ultralytics).
+``pose3d-export`` lowers the lifter's inference step to serialized
+StableHLO with the weights baked in (pose3d_tpu/serve.py) — the output
+directory is loadable with nothing but jax installed:
+
+    from pose3d_tpu.serve import load_exported     # or inline the 3-line
+    model = load_exported("exported_cnn/")         # deserialize wrapper
+    joints = model.call(image, depth, keypoints_2d)
+
+Accepts framework checkpoint directories AND raw reference ``.pth`` files
+(converted on the fly, same as infer/evaluate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+logger = logging.getLogger("pose3d_tpu.export")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Export a checkpoint to a self-contained StableHLO "
+                    "serving artifact"
+    )
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Framework checkpoint dir or reference .pth")
+    p.add_argument("--output", type=str, required=True,
+                   help="Output artifact directory")
+    p.add_argument("--batch-size", type=str, default="dynamic",
+                   help="Static batch size, or 'dynamic' (default) for a "
+                        "symbolic batch dimension — one artifact serves "
+                        "any request size")
+    p.add_argument("--platforms", type=str, nargs="+", default=None,
+                   help="Target platforms, e.g. 'tpu' or 'tpu cpu' "
+                        "(default: the current backend)")
+    p.add_argument("--attention-backend", type=str, default="xla",
+                   choices=["pallas", "xla"],
+                   help="xla (default) keeps the artifact free of "
+                        "platform-specific custom calls; pallas embeds "
+                        "the fused kernel (TPU-only artifact)")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> str:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from pose3d_tpu.core.runtime import apply_tpu_workarounds
+
+    apply_tpu_workarounds()
+
+    from pose3d_tpu.cli.convert import ensure_framework_checkpoint
+    from pose3d_tpu.core.config import GlobalConfig, make_model_config
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.serve import export_lifter, save_exported
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import (
+        load_checkpoint_meta,
+        restore_train_state,
+    )
+
+    checkpoint = ensure_framework_checkpoint(args.checkpoint)
+    meta = load_checkpoint_meta(checkpoint)
+    cfg = GlobalConfig()
+    model_type = meta.get("model_type", cfg.model_type)
+    model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
+
+    batch = None if args.batch_size == "dynamic" else int(args.batch_size)
+    model, variables = init_model(
+        model_cfg, batch_size=batch or 1,
+        attention_backend=args.attention_backend,
+    )
+    state, _ = restore_train_state(
+        create_train_state(model, variables), checkpoint
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    exported = export_lifter(
+        model, variables, tuple(model_cfg.image_size),
+        batch_size=batch, platforms=args.platforms,
+    )
+    path = save_exported(
+        exported, args.output,
+        extra_meta={
+            "model_type": model_type,
+            "checkpoint_step": int(meta.get("step", 0)),
+            "image_size": list(model_cfg.image_size),
+            "batch": args.batch_size,
+        },
+    )
+    logger.info("Wrote serving artifact to %s", path)
+    return str(path)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)
