@@ -85,6 +85,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     exported = export_lifter(
         model, variables, tuple(model_cfg.image_size),
         batch_size=batch, platforms=args.platforms,
+        num_joints=model_cfg.num_joints,
     )
     path = save_exported(
         exported, args.output,

@@ -39,7 +39,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 # Don't bother sharding tiny tensors (biases, norm scales): the all-gather
 # latency outweighs the few KB saved. 2**13 elements = 32 KiB fp32.
@@ -104,46 +104,10 @@ def shard_state_for_fsdp(
     Feed the result to make_train_step(state_sharding="auto") — GSPMD keeps
     the layouts through the update, so the state stays sharded step over
     step (asserted by tests/test_fsdp.py)."""
+    from pose3d_tpu.parallel.commit import commit_state_to_mesh
+
     specs = fsdp_param_spec(
         state.params, mesh.shape[axis], axis=axis,
         base_specs=base_specs, min_size=min_size,
     )
-
-    def put(tree, spec_tree):
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, spec_tree,
-        )
-
-    params = put(state.params, specs)
-
-    def put_opt(node):
-        # optax states mirror the param tree where they hold per-param
-        # moments; shard those like their params, replicate the rest
-        # (counts, schedules).
-        if isinstance(node, dict) or hasattr(node, "keys"):
-            try:
-                return put(node, specs)
-            except ValueError:
-                pass
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), node
-        )
-
-    opt_state = jax.tree_util.tree_map(
-        put_opt, state.opt_state,
-        is_leaf=lambda n: jax.tree_util.tree_structure(n)
-        == jax.tree_util.tree_structure(state.params),
-    )
-    batch_stats = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-        state.batch_stats,
-    )
-    # step too: every array leaf must be committed to the SAME mesh, or
-    # jit(state_like=...) sees a single-device scalar next to mesh-sharded
-    # params and rejects the mixed device set.
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
-    return state.replace(
-        step=step, params=params, opt_state=opt_state,
-        batch_stats=batch_stats,
-    )
+    return commit_state_to_mesh(state, mesh, specs)

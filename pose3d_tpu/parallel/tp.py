@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _spec_for(path_keys, leaf) -> P:
@@ -67,43 +67,8 @@ def tp_param_spec(params: Dict) -> Dict:
 
 def shard_state_for_tp(state, mesh: Mesh):
     """Return ``state`` with params (and matching optimizer moments)
-    device_put with TP shardings over ``mesh``; batch_stats and scalars
-    replicated."""
-    specs = tp_param_spec(state.params)
+    committed with TP shardings over ``mesh``; batch_stats, step and
+    scalars replicated (parallel/commit.py — one bulk device_put)."""
+    from pose3d_tpu.parallel.commit import commit_state_to_mesh
 
-    def put(tree, spec_tree):
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, spec_tree,
-        )
-
-    params = put(state.params, specs)
-
-    def put_opt(node):
-        # optax states mirror the param tree where they hold per-param
-        # moments; map those, replicate everything else.
-        if isinstance(node, dict) or hasattr(node, "keys"):
-            try:
-                return put(node, specs)
-            except ValueError:
-                pass
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), node
-        )
-
-    opt_state = jax.tree_util.tree_map(
-        put_opt, state.opt_state,
-        is_leaf=lambda n: jax.tree_util.tree_structure(n)
-        == jax.tree_util.tree_structure(state.params),
-    )
-    batch_stats = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-        state.batch_stats,
-    )
-    # commit the step scalar to the mesh too, so the whole state shares one
-    # device set (required by make_train_step's state_like= pinning).
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
-    return state.replace(
-        step=step, params=params, opt_state=opt_state,
-        batch_stats=batch_stats,
-    )
+    return commit_state_to_mesh(state, mesh, tp_param_spec(state.params))

@@ -186,6 +186,11 @@ def train_model(
             augment=augment, state_sharding="auto", state_like=state,
         )
     else:
+        if param_sharding == "fsdp":
+            logger.warning(
+                "param_sharding='fsdp' requires a mesh; training with "
+                "replicated parameters instead."
+            )
         train_step = make_train_step(model, loss_weights, mesh=mesh,
                                      accum_mode=accum_mode, augment=augment)
     eval_step = make_eval_step(

@@ -140,9 +140,10 @@ def test_fsdp_train_step_matches_replicated():
                     jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(x, y, atol=1e-5, rtol=1e-4)
 
-    # the validation path feeds the SAME sharded state to the eval step
-    # (which pins a replicated state sharding → one all-gather per call,
-    # standard ZeRO-3 eval); must reshard, not reject
+    # the validation path feeds the SAME sharded state to the eval step;
+    # jit REJECTS committed args that conflict with a pinned replicated
+    # spec, so FSDP eval must use state_sharding="auto" (sharding left to
+    # the arrays; GSPMD all-gathers at use — standard ZeRO-3 eval)
     from pose3d_tpu.train.step import make_eval_step
 
     eval_step = make_eval_step(model, mesh=mesh, state_sharding="auto")
