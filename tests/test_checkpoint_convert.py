@@ -210,3 +210,46 @@ def test_whole_module_checkpoint(tmp_path):
     with pytest.raises(Exception) as ei:
         convert(str(pth), str(tmp_path / "out"), model_type="cnn")
     assert not isinstance(ei.value, TypeError)
+
+
+def test_raw_pth_exports_to_serving_artifact(tmp_path):
+    """Reference .pth → StableHLO serving artifact in ONE command
+    (pose3d-export auto-converts like infer/evaluate), and the artifact
+    matches the reference torch model's output."""
+    torch.manual_seed(5)
+    ref_cfg = RefModelConfig("cnn", **KW)
+    tmodel = RefCNN(ref_cfg)
+    pth = tmp_path / "ref_model.pth"
+    torch.save(
+        {"step": 11, "model_state_dict": tmodel.state_dict(),
+         "optimizer_state_dict": {}, "model_args": ref_cfg.to_dict(),
+         "model_type": "cnn"},
+        pth,
+    )
+
+    from pose3d_tpu.cli.export import main as export_main
+    from pose3d_tpu.serve import load_exported, load_exported_meta
+
+    out = export_main([
+        "--checkpoint", str(pth), "--output", str(tmp_path / "served"),
+        "--batch-size", "2",
+    ])
+    meta = load_exported_meta(out)
+    assert meta["model_type"] == "cnn"
+    assert meta["checkpoint_step"] == 11
+
+    art = load_exported(out)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    dep = rng.uniform(1, 8, size=(2, 32, 32, 1)).astype(np.float32)
+    kpt = rng.uniform(0.1, 0.9, size=(2, 17, 2)).astype(np.float32)
+    got = np.asarray(art.call(img, dep, kpt))
+
+    tmodel.eval()
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(dep, (0, 3, 1, 2))),
+            torch.from_numpy(kpt),
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
