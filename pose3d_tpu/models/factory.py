@@ -21,16 +21,25 @@ from pose3d_tpu.models.transformer import TransformerPoseEstimation
 
 
 def build_model(config, *, attention_backend: str = "pallas",
-                dtype=jnp.bfloat16, param_dtype=jnp.float32):
-    """Instantiate the Flax module for a model config (or model_type str)."""
+                dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                **model_kwargs):
+    """Instantiate the Flax module for a model config (or model_type str).
+
+    Extra ``model_kwargs`` are forwarded to the module constructor
+    (transformer only — e.g. ``vit_stacked``/``vit_block_runner`` for the
+    pipeline-parallel layout, ``remat``)."""
     if isinstance(config, str):
         config = make_model_config(config)
     if isinstance(config, CNNModelConfig):
+        if model_kwargs:
+            raise ValueError(
+                f"unsupported CNN model kwargs: {sorted(model_kwargs)}"
+            )
         return CNNPoseEstimation(config, dtype=dtype, param_dtype=param_dtype)
     if isinstance(config, TransformerModelConfig):
         return TransformerPoseEstimation(
             config, attention_backend=attention_backend,
-            dtype=dtype, param_dtype=param_dtype,
+            dtype=dtype, param_dtype=param_dtype, **model_kwargs,
         )
     raise ValueError(f"Unsupported model config: {type(config)}")
 

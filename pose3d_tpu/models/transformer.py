@@ -190,6 +190,17 @@ class ViTBackbone(nn.Module):
     Stands in for the reference's timm backbone
     (src/models/transformers.py:174-179); pretrained torch weights can be
     ported onto it including the 3→4 channel patch-embed inflation.
+
+    ``stacked_blocks=True`` stores the N encoder blocks as ONE stacked
+    parameter subtree (``blocks``, leading layer dim) and applies them via
+    ``lax.scan`` — or via ``block_runner`` (e.g.
+    parallel/pp.make_pipeline_runner for GPipe pipeline parallelism, where
+    the layer dim is sharded over a mesh ``stage`` axis). Converters
+    between the looped (weight-porting) and stacked layouts live in
+    parallel/pp.py. The stacked path requires dropout == 0 (the flagship
+    backbone already runs dropout 0): a pipelined layer replays on every
+    stage each tick, so per-call dropout rng would diverge from the
+    sequential schedule.
     """
 
     embed_dim: int = 768
@@ -202,6 +213,58 @@ class ViTBackbone(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    stacked_blocks: bool = False
+    block_runner: object = None  # (block_apply, stacked_params, x) -> x
+    sp_constraint: object = None  # Megatron-SP residual-stream constraint
+
+    def _stacked_blocks(self, tokens, deterministic):
+        import jax
+
+        if self.dropout != 0.0:
+            raise ValueError("stacked_blocks requires dropout == 0.0")
+        del deterministic  # dropout 0: blocks are deterministic
+        block_args = (
+            self.num_heads, self.mlp_ratio, 0.0, 0.0, "gelu",
+        )
+        template = TransformerEncoderBlock(
+            *block_args, self.attention_backend, self.dtype,
+            self.param_dtype,
+        )
+        # init template pinned to the plain-XLA attention path: parameter
+        # shapes/values are backend-independent and the tiny dummy shapes
+        # used here need not satisfy Pallas kernel tiling constraints.
+        init_template = TransformerEncoderBlock(
+            *block_args, "xla", self.dtype, self.param_dtype,
+        )
+
+        def init_stacked(rng):
+            keys = jax.random.split(rng, self.depth)
+            dummy = jnp.zeros((1, 8, self.embed_dim), self.dtype)
+            return jax.vmap(
+                lambda k: init_template.init(k, dummy, True)["params"]
+            )(keys)
+
+        stacked = self.param("blocks", init_stacked)
+
+        def block_apply(p, y):
+            return template.apply({"params": p}, y, True)
+
+        if self.remat:
+            block_apply = jax.checkpoint(block_apply)
+        if self.block_runner is not None:
+            if self.sp_constraint is not None:
+                raise ValueError(
+                    "sp_constraint does not compose with a pipeline "
+                    "block_runner (the GPipe schedule owns the token "
+                    "layout inside its stage loop)"
+                )
+            return self.block_runner(block_apply, stacked, tokens)
+        if self.sp_constraint is not None:
+            inner, sp = block_apply, self.sp_constraint
+            block_apply = lambda p, y: sp(inner(p, y))  # noqa: E731
+        return jax.lax.scan(
+            lambda c, p: (block_apply(p, c), None), tokens, stacked
+        )[0]
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -231,12 +294,17 @@ class ViTBackbone(nn.Module):
         )
         tokens = tokens + pos.astype(tokens.dtype)
         tokens = nn.Dropout(self.dropout, deterministic=deterministic)(tokens)
-        for i in range(self.depth):
-            tokens = Block(
-                self.num_heads, self.mlp_ratio, self.dropout, self.dropout,
-                "gelu", self.attention_backend, self.dtype, self.param_dtype,
-                name=f"block_{i}",
-            )(tokens, deterministic)
+        sp = self.sp_constraint or (lambda t: t)
+        if self.stacked_blocks:
+            tokens = self._stacked_blocks(sp(tokens), deterministic)
+        else:
+            tokens = sp(tokens)
+            for i in range(self.depth):
+                tokens = sp(Block(
+                    self.num_heads, self.mlp_ratio, self.dropout,
+                    self.dropout, "gelu", self.attention_backend,
+                    self.dtype, self.param_dtype, name=f"block_{i}",
+                )(tokens, deterministic))
         return _ln(self.dtype, self.param_dtype, name="norm")(tokens)
 
 
@@ -258,6 +326,13 @@ class TransformerPoseEstimation(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize encoder blocks (trade FLOPs for HBM)
+    # pipeline-parallel readiness (parallel/pp.py): store the ViT encoder
+    # blocks stacked; optionally run them through a GPipe stage pipeline.
+    vit_stacked: bool = False
+    vit_block_runner: object = None
+    # Megatron sequence parallelism (parallel/sp.py): residual token
+    # streams constrained token-sharded over the mesh model axis.
+    sp_constraint: object = None
 
     @nn.compact
     def __call__(self, image, depth, keypoints_2d, *, train: bool = False):
@@ -283,7 +358,9 @@ class TransformerPoseEstimation(nn.Module):
             patch_size=cfg.vit_patch_size, mlp_ratio=4.0,
             dropout=0.0, attention_backend=self.attention_backend,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, name="vit_backbone",
+            remat=self.remat, stacked_blocks=self.vit_stacked,
+            block_runner=self.vit_block_runner,
+            sp_constraint=self.sp_constraint, name="vit_backbone",
         )(x, deterministic=det)
         img_tokens = vit_tokens[:, 1:]  # strip CLS prefix token
 
@@ -304,6 +381,7 @@ class TransformerPoseEstimation(nn.Module):
         hm_tokens = hm_tokens + pos_hm.astype(hm_tokens.dtype)
 
         # --- cross-modal fusion (reference transformers.py:256-268, 352-356) ---
+        sp = self.sp_constraint or (lambda t: t)
         for i in range(cfg.num_cross_modal_layers):
             img_tokens, hm_tokens = FusionBlock(
                 cfg.transformer_heads, cfg.transformer_mlp_ratio,
@@ -312,6 +390,7 @@ class TransformerPoseEstimation(nn.Module):
                 cfg.activation, self.attention_backend,
                 self.dtype, self.param_dtype, name=f"fusion_{i}",
             )(img_tokens, hm_tokens, det)
+            img_tokens, hm_tokens = sp(img_tokens), sp(hm_tokens)
 
         # --- final encoder over [CLS | img | hm] (transformers.py:271-304) ---
         n_total = 1 + img_tokens.shape[1] + n_hm
@@ -333,14 +412,15 @@ class TransformerPoseEstimation(nn.Module):
         tokens = nn.Dropout(
             cfg.transformer_dropout_rate, deterministic=det
         )(tokens)
+        tokens = sp(tokens)
         for i in range(cfg.final_encoder_depth):
-            tokens = EncoderBlock(
+            tokens = sp(EncoderBlock(
                 cfg.transformer_heads, cfg.transformer_mlp_ratio,
                 cfg.transformer_dropout_rate,
                 cfg.transformer_attention_dropout_rate,
                 cfg.activation, self.attention_backend,
                 self.dtype, self.param_dtype, name=f"final_block_{i}",
-            )(tokens, det)
+            )(tokens, det))
 
         cls_out = _ln(self.dtype, self.param_dtype, name="norm_out")(
             tokens[:, 0]

@@ -36,21 +36,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 def _spec_for(path_keys, leaf) -> P:
     path = "/".join(path_keys)
     is_kernel = path_keys[-1] == "kernel"
+    # stacked-blocks layout (parallel/pp.py): leaves under a "blocks"
+    # subtree carry a leading layer dimension — shift the Megatron spec
+    # right by one so it still lands on the weight dims.
+    shift = (None,) if "blocks" in path_keys else ()
     if "Mlp_" in path and is_kernel:
         if "Dense_0" in path:
-            return P(None, "model")
+            return P(*shift, None, "model")
         if "Dense_1" in path:
-            return P("model", None)
+            return P(*shift, "model", None)
     if "Mlp_" in path and path_keys[-1] == "bias" and "Dense_0" in path:
-        return P("model")
+        return P(*shift, "model")
     if "MultiHeadAttention_" in path:
         if any(f"/{n}/" in "/" + path + "/" for n in ("query", "key", "value")):
             if is_kernel:
-                return P(None, "model", None)
+                return P(*shift, None, "model", None)
             if path_keys[-1] == "bias":
-                return P("model", None)
+                return P(*shift, "model", None)
         if "/out/" in "/" + path + "/" and is_kernel:
-            return P("model", None, None)
+            return P(*shift, "model", None, None)
     return P()
 
 

@@ -1,0 +1,201 @@
+"""Batching inference server (pose3d_tpu/serve_http.py): the MicroBatcher
+coalesces concurrent requests into device batches, pads to buckets, and
+the HTTP layer round-trips npz payloads — the deployment answer to the
+reference's per-image inference loop (reference infer.py:424)."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pose3d_tpu.core.config import CNNModelConfig
+from pose3d_tpu.models import init_model
+from pose3d_tpu.serve import export_lifter, save_exported
+from pose3d_tpu.serve_http import MicroBatcher, _bucket, make_server
+
+TINY_CNN = CNNModelConfig(
+    image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+    stage_channels=(8, 16, 32), stage_depths=(1, 1, 1),
+    initial_channels=8, global_pool_size=2, global_feature_dim=16,
+    regression_dims=(16,),
+)
+
+
+def _inputs(rng, b, hw=32):
+    return (
+        rng.uniform(size=(b, hw, hw, 3)).astype(np.float32),
+        rng.uniform(1, 8, size=(b, hw, hw, 1)).astype(np.float32),
+        rng.uniform(0.1, 0.9, size=(b, 17, 2)).astype(np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    model, variables = init_model(TINY_CNN, batch_size=2)
+    exp = export_lifter(model, variables, (32, 32))  # dynamic batch
+    path = tmp_path_factory.mktemp("serve") / "art"
+    save_exported(exp, path, extra_meta={"model_type": "cnn"})
+    import jax
+
+    return path, jax.jit(exp.call)
+
+
+def test_bucket():
+    assert [_bucket(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == \
+        [1, 2, 4, 4, 8, 8, 8]
+
+
+def test_microbatcher_correct_and_coalesces(artifact):
+    _, call = artifact
+    mb = MicroBatcher(call, max_batch=8, max_wait_ms=200.0)
+    rng = np.random.default_rng(0)
+    reqs = [_inputs(rng, 1) for _ in range(4)]
+    try:
+        # submit concurrently so the dispatcher can coalesce
+        futs = [mb.submit(*r) for r in reqs]
+        results = [f.result(timeout=120) for f in futs]
+        expect = np.asarray(call(*(np.concatenate([r[i] for r in reqs])
+                                   for i in range(3))))
+        got = np.concatenate([r["joints_3d"] for r in results])
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+        stats = mb.stats()
+        assert stats["samples_served"] == 4
+        # 4 one-sample requests in a 200 ms window: fewer device calls
+        # than requests (the first may dispatch alone before the rest
+        # enqueue, but full per-request dispatch means no batching at all)
+        assert stats["device_calls"] < 4
+    finally:
+        mb.close()
+
+
+def test_microbatcher_pads_and_chunks(artifact):
+    _, call = artifact
+    mb = MicroBatcher(call, max_batch=4, max_wait_ms=1.0)
+    rng = np.random.default_rng(1)
+    inp = _inputs(rng, 7)  # > max_batch: chunk 4 + chunk 3 padded to 4
+    try:
+        res = mb.submit(*inp).result(timeout=120)
+        expect = np.asarray(call(*inp))
+        np.testing.assert_allclose(res["joints_3d"], expect, atol=1e-5)
+        assert mb.stats()["device_calls"] == 2
+        assert mb.stats()["samples_padded"] == 1  # 7 -> 4 + bucket(3)=4
+    finally:
+        mb.close()
+
+
+def test_microbatcher_static_batch_pads(artifact):
+    _, call = artifact
+    mb = MicroBatcher(call, max_wait_ms=1.0, static_batch=4)
+    rng = np.random.default_rng(2)
+    inp = _inputs(rng, 1)
+    try:
+        res = mb.submit(*inp).result(timeout=120)
+        np.testing.assert_allclose(
+            res["joints_3d"], np.asarray(call(*inp)), atol=1e-5
+        )
+        assert mb.stats()["samples_padded"] == 3
+    finally:
+        mb.close()
+
+
+def test_microbatcher_surfaces_errors(artifact):
+    _, call = artifact
+
+    def boom(*a):
+        raise RuntimeError("kaput")
+
+    mb = MicroBatcher(boom, max_batch=2, max_wait_ms=1.0)
+    try:
+        fut = mb.submit(*_inputs(np.random.default_rng(3), 1))
+        with pytest.raises(RuntimeError, match="kaput"):
+            fut.result(timeout=30)
+        # batcher survives a failed batch
+        fut2 = mb.submit(*_inputs(np.random.default_rng(4), 1))
+        with pytest.raises(RuntimeError):
+            fut2.result(timeout=30)
+    finally:
+        mb.close()
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    path, _ = artifact
+    srv = make_server(str(path), host="127.0.0.1", port=0,
+                      max_batch=4, max_wait_ms=2.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    # wait for warmup
+    import time
+
+    for _ in range(600):
+        if srv.ready:
+            break
+        time.sleep(0.1)
+    assert srv.ready, "server warmup timed out"
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.server_port}{path}"
+
+
+def test_http_predict_roundtrip(server, artifact):
+    _, call = artifact
+    rng = np.random.default_rng(5)
+    inp = _inputs(rng, 2)
+    buf = io.BytesIO()
+    np.savez(buf, image=inp[0], depth=inp[1], keypoints_2d=inp[2])
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert float(resp.headers["X-Device-Ms"]) > 0
+        out = np.load(io.BytesIO(resp.read()))
+    np.testing.assert_allclose(
+        out["joints_3d"], np.asarray(call(*inp)), atol=1e-5
+    )
+
+
+def test_http_meta_and_health(server):
+    import json
+
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(_url(server, "/meta"), timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["image_size"] == [32, 32]
+    assert meta["batching"]["max_batch"] == 4
+    assert meta["artifact"]["model_type"] == "cnn"
+
+
+def test_http_rejects_bad_payload(server):
+    buf = io.BytesIO()
+    np.savez(buf, image=np.zeros((1, 32, 32, 3), np.float32))  # missing keys
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=buf.getvalue(), method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "missing npz keys" in e.read().decode()
+
+    # wrong spatial size
+    bad = _inputs(np.random.default_rng(6), 1, hw=16)
+    buf = io.BytesIO()
+    np.savez(buf, image=bad[0], depth=bad[1], keypoints_2d=bad[2])
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=buf.getvalue(), method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "artifact expects" in e.read().decode()
