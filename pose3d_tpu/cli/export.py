@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="xla (default) keeps the artifact free of "
                         "platform-specific custom calls; pallas embeds "
                         "the fused kernel (TPU-only artifact)")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="weight-only per-channel int8 PTQ of the large "
+                        "kernels before lowering: ~4x smaller artifact, "
+                        "dequant fused into each consumer at run time")
     return p
 
 
@@ -85,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> str:
     exported = export_lifter(
         model, variables, tuple(model_cfg.image_size),
         batch_size=batch, platforms=args.platforms,
-        num_joints=model_cfg.num_joints,
+        num_joints=model_cfg.num_joints, quantize=args.quantize,
     )
     path = save_exported(
         exported, args.output,
@@ -94,6 +99,7 @@ def main(argv: Optional[List[str]] = None) -> str:
             "checkpoint_step": int(meta.get("step", 0)),
             "image_size": list(model_cfg.image_size),
             "batch": args.batch_size,
+            "quantize": args.quantize,
         },
     )
     logger.info("Wrote serving artifact to %s", path)

@@ -130,3 +130,55 @@ def test_export_cli_from_checkpoint(tmp_path, monkeypatch):
     meta = load_exported_meta(out)
     assert meta["model_type"] == "cnn"
     assert meta["batch"] == "dynamic"
+
+
+def test_int8_quantize_roundtrip_error_bound():
+    """Symmetric per-channel int8: reconstruction error is at most half a
+    quantization step (scale/2) per element."""
+    import jax
+
+    from pose3d_tpu.serve import dequantize_variables, quantize_variables
+
+    rng = np.random.default_rng(0)
+    w = (rng.normal(size=(128, 64)) * 0.3).astype(np.float32)
+    variables = {"params": {"layer": {"kernel": jax.numpy.asarray(w)}}}
+    qv = quantize_variables(variables, min_size=1024)
+    from pose3d_tpu.serve import Int8Weight
+
+    leaf = qv["params"]["layer"]["kernel"]
+    assert isinstance(leaf, Int8Weight)
+    assert leaf.q.dtype == jax.numpy.int8
+    back = np.asarray(dequantize_variables(qv)["params"]["layer"]["kernel"])
+    scale = np.asarray(leaf.scale)  # [1, 64]
+    assert np.all(np.abs(back - w) <= scale / 2 + 1e-9)
+    # small leaves stay untouched
+    small = {"params": {"layer": {"kernel": jax.numpy.ones((4, 4))}}}
+    assert not isinstance(
+        quantize_variables(small)["params"]["layer"]["kernel"], Int8Weight
+    )
+
+
+def test_int8_quantized_export_smaller_and_close(tmp_path):
+    """quantize="int8" shrinks the serialized artifact (int8 constants)
+    while the outputs stay close to the fp32 artifact."""
+    model, variables = init_model(
+        TINY_VIT, batch_size=2, attention_backend="xla"
+    )
+    fp = export_lifter(model, variables, (64, 64), batch_size=2)
+    q = export_lifter(model, variables, (64, 64), batch_size=2,
+                      quantize="int8")
+    save_exported(fp, tmp_path / "fp")
+    save_exported(q, tmp_path / "q", extra_meta={"quantize": "int8"})
+    b_fp = load_exported_meta(tmp_path / "fp")["payload_bytes"]
+    b_q = load_exported_meta(tmp_path / "q")["payload_bytes"]
+    assert b_q < 0.6 * b_fp, (b_q, b_fp)
+
+    img, dep, kp = _inputs(np.random.default_rng(3), 2, 64)
+    out_fp = np.asarray(load_exported(tmp_path / "fp").call(img, dep, kp))
+    out_q = np.asarray(load_exported(tmp_path / "q").call(img, dep, kp))
+    assert np.isfinite(out_q).all()
+    assert np.abs(out_q - out_fp).max() > 0  # quantization actually applied
+    scale = np.abs(out_fp).max() + 1e-6
+    assert np.abs(out_q - out_fp).max() < 0.2 * scale, (
+        np.abs(out_q - out_fp).max(), scale
+    )
