@@ -111,6 +111,49 @@ def _thumb(img: np.ndarray, size=VIZ_THUMBNAIL_SIZE) -> np.ndarray:
     return canvas
 
 
+def make_lifter(model, variables, model_cfg):
+    """Jitted compact-transfer lifter call shared by the infer CLI and the
+    full-pipeline serving mode (serve_http): takes decoded full-res RGB
+    images + their Stage1Results, ships uint8 pixels (4x less
+    host->device traffic; train.step.decompact_batch decodes on device)
+    and returns [b, J, 3] joints."""
+    import jax
+
+    from pose3d_tpu.train.step import decompact_batch
+
+    size_hw = tuple(model_cfg.image_size)
+
+    def _fwd(v, img_u8, dep_u8, scale, kp):
+        b = decompact_batch(
+            {"image": img_u8, "depth": dep_u8, "depth_scale": scale}
+        )
+        return model.apply(v, b["image"], b["depth"], kp, train=False)
+
+    fwd = jax.jit(_fwd)
+
+    def lift(raws, s1s):
+        images = _resize_batch(raws, size_hw)  # uint8 [b,H,W,3]
+        dep_u8, scales = [], []
+        for s in s1s:
+            lo, hi = float(s.depth.min()), float(s.depth.max())
+            rngv = hi - lo if hi > lo else 1.0
+            d01 = (s.depth - lo) / rngv
+            dep_u8.append(
+                np.clip(d01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            )
+            scales.append([lo, hi])
+        depths = _resize_batch([d[..., None] for d in dep_u8], size_hw)
+        if depths.ndim == 3:
+            depths = depths[..., None]
+        scales = np.asarray(scales, np.float32)
+        kpts = np.stack(
+            [s.keypoints[:, :2] for s in s1s]
+        ).astype(np.float32)
+        return np.asarray(fwd(variables, images, depths, scales, kpts))
+
+    return lift
+
+
 def run(args):
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
 
@@ -177,19 +220,7 @@ def run(args):
         logger.warning("No images found in %s", args.input_folder)
         return 0
 
-    size_hw = tuple(model_cfg.image_size)
-
-    # Compact transfer: pixels ship as uint8 and decode on-device
-    # (4× less host→device traffic; see train.step.decompact_batch).
-    from pose3d_tpu.train.step import decompact_batch
-
-    def _fwd(v, img_u8, dep_u8, scale, kp):
-        b = decompact_batch(
-            {"image": img_u8, "depth": dep_u8, "depth_scale": scale}
-        )
-        return model.apply(v, b["image"], b["depth"], kp, train=False)
-
-    fwd = jax.jit(_fwd)
+    lift = make_lifter(model, variables, model_cfg)
 
     n_done = 0
     B = args.batch_size
@@ -221,25 +252,7 @@ def run(args):
         if not kept:
             continue
 
-        images = _resize_batch(raws, size_hw)  # uint8 [b,H,W,3]
-        dep_u8, scales = [], []
-        for s in s1s:
-            lo, hi = float(s.depth.min()), float(s.depth.max())
-            rngv = hi - lo if hi > lo else 1.0
-            d01 = (s.depth - lo) / rngv
-            dep_u8.append(
-                np.clip(d01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            )
-            scales.append([lo, hi])
-        depths = _resize_batch([d[..., None] for d in dep_u8], size_hw)
-        if depths.ndim == 3:
-            depths = depths[..., None]
-        scales = np.asarray(scales, np.float32)
-        kpts = np.stack([s.keypoints[:, :2] for s in s1s]).astype(np.float32)
-
-        preds = np.asarray(
-            fwd(variables, images, depths, scales, kpts)
-        )  # [b,J,3]
+        preds = lift(raws, s1s)  # [b,J,3]
 
         for f, raw, s1, joints in zip(kept, raws, s1s, preds):
             npy_path = out_dir / f"{f.stem}_pred_joints3d.npy"

@@ -188,6 +188,77 @@ class MicroBatcher:
             lo += b
 
 
+class PipelineBatcher(MicroBatcher):
+    """MicroBatcher over *lists of decoded RGB images* (variable sizes)
+    for the full-pipeline mode: stage 1 (keypoints + depth) + lifter per
+    device batch. ``call_fn(images: list[np.ndarray]) -> (joints [n,J,3],
+    keypoints [n,J,3])``. Batch sizes still bucket to powers of two —
+    the list is padded by repeating its last image (results sliced off) so
+    the jitted stage-1/lifter programs compile once per bucket."""
+
+    def submit(self, images) -> Future:
+        if not images:
+            raise ValueError("empty image list")
+        fut: Future = Future()
+        self._queue.put((images, fut, time.monotonic()))
+        return fut
+
+    def _run_batch(self, items):
+        t0 = time.monotonic()
+        images = [im for imgs, _, _ in items for im in imgs]
+        n = len(images)
+        joints_parts, kpts_parts = [], []
+        for lo in range(0, n, self.max_batch):
+            chunk = images[lo:lo + self.max_batch]
+            cn = len(chunk)
+            target = (self.static_batch if self.static_batch is not None
+                      else _bucket(cn, self.max_batch))
+            if cn < target:
+                self.samples_padded += target - cn
+                chunk = chunk + [chunk[-1]] * (target - cn)
+            joints, kpts = self._call_fn(chunk)
+            self.device_calls += 1
+            joints_parts.append(np.asarray(joints)[:cn])
+            kpts_parts.append(np.asarray(kpts)[:cn])
+        joints = np.concatenate(joints_parts, axis=0)
+        kpts = np.concatenate(kpts_parts, axis=0)
+        self.samples_served += n
+        t1 = time.monotonic()
+        lo = 0
+        for imgs, fut, t_enq in items:
+            b = len(imgs)
+            fut.set_result({
+                "joints_3d": joints[lo:lo + b],
+                "keypoints": kpts[lo:lo + b],
+                "queue_ms": (t0 - t_enq) * 1e3,
+                "device_ms": (t1 - t0) * 1e3,
+                "batch_size": n,
+            })
+            lo += b
+
+
+def _load_pipeline_call(checkpoint, stage1_kwargs):
+    """Full reference pipeline as one batched callable: decoded RGB
+    images -> stage 1 (batched keypoints + depth) -> jitted lifter ->
+    joints. The serving twin of cli/infer's per-batch body (the
+    reference runs this per image with three separate model dispatches,
+    infer.py:424)."""
+    from pose3d_tpu.cli.infer import load_pose_model, make_lifter
+    from pose3d_tpu.stage1 import get_stage1_provider
+
+    model, variables, model_cfg = load_pose_model(checkpoint)
+    provider = get_stage1_provider("jax", **stage1_kwargs)
+    lift = make_lifter(model, variables, model_cfg)
+
+    def call(images):
+        s1s = provider.predict_batch(images)
+        joints = lift(images, s1s)
+        kpts = np.stack([s.keypoints for s in s1s]).astype(np.float32)
+        return joints, kpts
+
+    return call, tuple(model_cfg.image_size), model_cfg.num_joints
+
+
 # ----------------------------------------------------------------------
 # HTTP layer
 # ----------------------------------------------------------------------
@@ -238,10 +309,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
-        if self.path != "/predict":
+        srv = self.server
+        if self.path == "/predict_image" and getattr(srv, "pipeline", False):
+            self._predict_image()
+            return
+        if self.path != "/predict" or getattr(srv, "pipeline", False):
             self._json(404, {"error": f"unknown path {self.path}"})
             return
-        srv = self.server
         try:
             length = int(self.headers.get("Content-Length", "0"))
             data = np.load(io.BytesIO(self.rfile.read(length)))
@@ -264,6 +338,40 @@ class _Handler(BaseHTTPRequestHandler):
             return
         buf = io.BytesIO()
         np.savez(buf, joints_3d=result["joints_3d"])
+        body = buf.getvalue()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Batch-Size", str(result["batch_size"]))
+        self.send_header("X-Queue-Ms", f"{result['queue_ms']:.2f}")
+        self.send_header("X-Device-Ms", f"{result['device_ms']:.2f}")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _predict_image(self):
+        """Full-pipeline endpoint: raw encoded image (JPEG/PNG bytes) in,
+        npz{joints_3d [J,3], keypoints [J,3]} out."""
+        import cv2
+
+        srv = self.server
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = np.frombuffer(self.rfile.read(length), np.uint8)
+            bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise ValueError("body is not a decodable image")
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        except Exception as e:
+            self._json(400, {"error": str(e)})
+            return
+        try:
+            result = srv.batcher.submit([rgb]).result(timeout=srv.timeout_s)
+        except Exception as e:
+            self._json(500, {"error": str(e)})
+            return
+        buf = io.BytesIO()
+        np.savez(buf, joints_3d=result["joints_3d"][0],
+                 keypoints=result["keypoints"][0])
         body = buf.getvalue()
         self.send_response(200)
         self.send_header("Content-Type", "application/octet-stream")
@@ -299,6 +407,7 @@ def make_server(
     srv.image_hw = image_hw
     srv.num_joints = num_joints
     srv.timeout_s = request_timeout_s
+    srv.pipeline = False
     try:
         srv.artifact_meta = load_exported_meta(artifact_dir)
     except Exception:
@@ -319,15 +428,74 @@ def make_server(
     return srv
 
 
+def make_pipeline_server(
+    checkpoint,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    *,
+    max_batch: int = 8,
+    max_wait_ms: float = 5.0,
+    request_timeout_s: float = 600.0,
+    stage1_kwargs: Optional[dict] = None,
+) -> ThreadingHTTPServer:
+    """Full-pipeline server: POST an encoded image to /predict_image and
+    get back npz{joints_3d, keypoints} — the reference's entire infer
+    flow (YOLO keypoints + DepthPro depth + lifter, infer.py:396-502) as
+    one micro-batched service. ``stage1_kwargs`` go to JaxStage1
+    (kp_weights/depth_weights/confidence_threshold/...)."""
+    call, image_hw, num_joints = _load_pipeline_call(
+        checkpoint, stage1_kwargs or {}
+    )
+    batcher = PipelineBatcher(
+        call, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.batcher = batcher
+    srv.image_hw = image_hw
+    srv.num_joints = num_joints
+    srv.timeout_s = request_timeout_s
+    srv.pipeline = True
+    srv.artifact_meta = {"mode": "pipeline", "checkpoint": str(checkpoint)}
+    srv.ready = False
+
+    def warmup():
+        h, w = image_hw
+        batcher.submit(
+            [np.zeros((h, w, 3), np.uint8)]
+        ).result()
+        srv.ready = True
+        logger.info("pipeline warmup done; serving on %s:%d",
+                    host, srv.server_port)
+
+    threading.Thread(target=warmup, daemon=True).start()
+    return srv
+
+
 def main(argv=None) -> None:
     import argparse
 
     p = argparse.ArgumentParser(
-        description="Serve an exported pose3d artifact with dynamic "
-                    "micro-batching (POST npz to /predict)"
+        description="Serve the lifter with dynamic micro-batching: either "
+                    "an exported artifact (--artifact; POST npz to "
+                    "/predict) or the FULL pipeline (--checkpoint + stage-1 "
+                    "weights; POST an encoded image to /predict_image)"
     )
-    p.add_argument("--artifact", required=True,
-                   help="pose3d-export output directory")
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--artifact",
+                      help="pose3d-export output directory (lifter-only "
+                           "npz serving)")
+    mode.add_argument("--checkpoint",
+                      help="framework checkpoint dir or reference .pth: "
+                           "serve the full image->joints pipeline "
+                           "(stage 1 + lifter)")
+    p.add_argument("--kp-weights", default=None,
+                   help="pipeline mode: ultralytics yolo11-pose .pt")
+    p.add_argument("--depth-weights", default=None,
+                   help="pipeline mode: DepthPro safetensors")
+    p.add_argument("--confidence-threshold", type=float, default=0.0)
+    p.add_argument("--allow-untrained", action="store_true",
+                   help="pipeline mode: allow randomly initialized "
+                        "stage-1 networks (noise output; testing only)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8,
@@ -341,12 +509,33 @@ def main(argv=None) -> None:
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
 
     apply_tpu_workarounds()
-    if not Path(args.artifact).exists():
-        raise SystemExit(f"artifact not found: {args.artifact}")
-    srv = make_server(
-        args.artifact, args.host, args.port,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-    )
+    if args.artifact:
+        if not Path(args.artifact).exists():
+            raise SystemExit(f"artifact not found: {args.artifact}")
+        srv = make_server(
+            args.artifact, args.host, args.port,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        )
+    else:
+        # same untrained-noise gate as cli/infer (randomly initialized
+        # stage-1 networks emit noise, not predictions)
+        if not (args.kp_weights and args.depth_weights) \
+                and not args.allow_untrained:
+            raise SystemExit(
+                "pipeline serving without --kp-weights/--depth-weights "
+                "would run randomly initialized stage-1 networks; provide "
+                "weights or pass --allow-untrained"
+            )
+        s1 = {"confidence_threshold": args.confidence_threshold}
+        if args.kp_weights:
+            s1["kp_weights"] = args.kp_weights
+        if args.depth_weights:
+            s1["depth_weights"] = args.depth_weights
+        srv = make_pipeline_server(
+            args.checkpoint, args.host, args.port,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            stage1_kwargs=s1,
+        )
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

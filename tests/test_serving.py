@@ -199,3 +199,116 @@ def test_http_rejects_bad_payload(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "artifact expects" in e.read().decode()
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline mode: encoded image -> stage 1 -> lifter -> joints
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pipeline_server(tmp_path_factory):
+    import json
+
+    from pose3d_tpu.serve_http import make_pipeline_server
+    from pose3d_tpu.models import init_model as _init
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    model, variables = _init(TINY_CNN, batch_size=2)
+    state = create_train_state(model, variables)
+    ck = save_checkpoint(
+        tmp_path_factory.mktemp("pipe") / "ckpt", state, "cnn",
+        json.loads(json.dumps({
+            "image_size": [32, 32], "heatmap_size": 32,
+            "heatmap_sigma": 2.0, "stage_channels": [8, 16, 32],
+            "stage_depths": [1, 1, 1], "initial_channels": 8,
+            "global_pool_size": 2, "global_feature_dim": 16,
+            "regression_dims": [16],
+        })),
+    )
+    # untrained tiny native stage-1 nets: plumbing/shape test only
+    srv = make_pipeline_server(
+        str(ck), host="127.0.0.1", port=0,
+        max_batch=4, max_wait_ms=2.0,
+        stage1_kwargs={"input_size": 32},
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(1800):
+        if srv.ready:
+            break
+        time.sleep(0.1)
+    assert srv.ready, "pipeline warmup timed out"
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def test_pipeline_predict_image_roundtrip(pipeline_server):
+    import cv2
+
+    rng = np.random.default_rng(7)
+    rgb = (rng.uniform(0, 255, size=(48, 40, 3))).astype(np.uint8)
+    ok, enc = cv2.imencode(".png", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    assert ok
+    req = urllib.request.Request(
+        _url(pipeline_server, "/predict_image"), data=enc.tobytes(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.status == 200
+        out = np.load(io.BytesIO(resp.read()))
+    assert out["joints_3d"].shape == (17, 3)
+    assert out["keypoints"].shape == (17, 3)
+    assert np.isfinite(out["joints_3d"]).all()
+    # npz /predict is artifact-mode only
+    buf = io.BytesIO()
+    np.savez(buf, image=np.zeros((1, 32, 32, 3), np.float32),
+             depth=np.ones((1, 32, 32, 1), np.float32),
+             keypoints_2d=np.full((1, 17, 2), 0.5, np.float32))
+    req = urllib.request.Request(
+        _url(pipeline_server, "/predict"), data=buf.getvalue(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 404 in pipeline mode"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_pipeline_rejects_garbage_body(pipeline_server):
+    req = urllib.request.Request(
+        _url(pipeline_server, "/predict_image"), data=b"not an image",
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "decodable" in e.read().decode()
+
+
+def test_pipeline_batcher_pads_with_repeat(pipeline_server):
+    from pose3d_tpu.serve_http import PipelineBatcher
+
+    calls = []
+
+    def fake_call(images):
+        calls.append(len(images))
+        n = len(images)
+        return (np.zeros((n, 17, 3), np.float32),
+                np.zeros((n, 17, 3), np.float32))
+
+    pb = PipelineBatcher(fake_call, max_batch=4, max_wait_ms=1.0)
+    try:
+        imgs = [np.zeros((8, 8, 3), np.uint8)] * 3
+        res = pb.submit(imgs).result(timeout=60)
+        assert res["joints_3d"].shape == (3, 17, 3)
+        assert calls == [4]  # bucket(3) = 4, padded by repeating
+        assert pb.stats()["samples_padded"] == 1
+    finally:
+        pb.close()
