@@ -47,6 +47,14 @@ def build_parser():
                         "rotation convention instead of true Procrustes")
     p.add_argument("--attention-backend", type=str, default="pallas",
                    choices=["pallas", "xla"])
+    p.add_argument("--ema", action="store_true",
+                   help="Evaluate the checkpoint's EMA weights (saved by "
+                        "training with --ema-decay) instead of the live "
+                        "params")
+    p.add_argument("--per-action", action="store_true",
+                   help="Also report MPJPE/PA-MPJPE per H3.6M action "
+                        "(standard protocol breakdown; the reference only "
+                        "reports the overall mean)")
     p.add_argument("--json", type=str, default=None,
                    help="Also write metrics to this JSON file")
     return p
@@ -83,8 +91,21 @@ def run(args) -> dict:
         model_cfg, batch_size=batch_size,
         attention_backend=args.attention_backend,
     )
-    state = create_train_state(model, variables)
+    if args.ema:
+        from pose3d_tpu.train.checkpoint import checkpoint_has_ema
+
+        if not checkpoint_has_ema(args.checkpoint):
+            raise SystemExit(
+                f"--ema: checkpoint {args.checkpoint} carries no EMA "
+                "weights (train with --ema-decay to record them)"
+            )
+    state = create_train_state(model, variables, ema=args.ema)
     state, _ = restore_train_state(state, args.checkpoint)
+    if args.ema:
+        from pose3d_tpu.train.state import with_ema_params
+
+        state = with_ema_params(state)
+        logger.info("Evaluating EMA weights")
     step = int(meta.get("step", 0))
     logger.info("Evaluating %s checkpoint %s (step %d)",
                 model_type, args.checkpoint, step)
@@ -102,7 +123,9 @@ def run(args) -> dict:
     eval_step = make_eval_step(
         model, mesh=mesh, compat_pa=args.compat_pa_metric, per_sample=True,
     )
-    metrics = evaluate(eval_step, state, val_loader, pad_to=batch_size)
+    metrics = evaluate(eval_step, state, val_loader, pad_to=batch_size,
+                       per_action=args.per_action)
+    per_action = metrics.pop("per_action", None)
     metrics = {k: float(v) for k, v in metrics.items()}
     metrics["checkpoint_step"] = step
 
@@ -113,6 +136,12 @@ def run(args) -> dict:
         # keep it out of the float-formatted loss-component listing
         if k not in ("mpjpe", "pa_mpjpe", "checkpoint_step"):
             logger.info("%-11s: %.4f", k, v)
+    if per_action is not None:
+        logger.info("Per-action breakdown (%d actions):", len(per_action))
+        for a, m in per_action.items():
+            logger.info("  %-18s MPJPE %7.2f  PA-MPJPE %7.2f  (n=%d)",
+                        a, m["mpjpe"], m["pa_mpjpe"], m["count"])
+        metrics["per_action"] = per_action
     print(json.dumps(metrics))
     if args.json:
         with open(args.json, "w") as f:

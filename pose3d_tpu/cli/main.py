@@ -57,6 +57,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Explicit checkpoint path to load")
     p.add_argument("--start-step", type=int,
                    help="Global step index to resume from")
+    p.add_argument("--no-resume-data", action="store_true",
+                   help="When resuming from a checkpoint, do NOT fast-"
+                        "forward the training data stream to the recorded "
+                        "mid-epoch position (meta.json data_state); start "
+                        "the stream from epoch 0 instead")
+    p.add_argument("--keep-checkpoints", type=int, default=None,
+                   help="Retain only the N newest checkpoints (the best-"
+                        "by-val-MPJPE checkpoint is always kept). Default: "
+                        "keep all, like the reference")
+    p.add_argument("--profile-steps", type=int, default=None,
+                   help="Capture a jax.profiler trace covering this many "
+                        "optimizer steps (viewable in TensorBoard's profile "
+                        "plugin). Off by default")
+    p.add_argument("--profile-at", type=int, default=None,
+                   help="Step AFTER which the profiler window opens "
+                        "(default: start_step+5, past the layout-keyed "
+                        "recompiles)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="Trace output dir (default: the run's TensorBoard "
+                        "dir, or {checkpoint_prefix}_profile without TB)")
     p.add_argument("--model-type", type=str,
                    choices=["cnn", "transformer"],
                    help="Model type: 'cnn' or 'transformer'")
@@ -71,6 +91,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one packed device readback per window; per-step "
                         "fetching serializes the dispatch pipeline)")
     p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--lr-schedule", type=str, default="constant",
+                   choices=["constant", "cosine", "linear"],
+                   help="Learning-rate schedule (default: constant, the "
+                        "reference's fixed LR). cosine/linear decay over "
+                        "--schedule-steps (default --num-steps)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="Linear LR warmup steps (composes with any "
+                        "--lr-schedule)")
+    p.add_argument("--schedule-steps", type=int, default=None,
+                   help="Decay horizon for cosine/linear schedules "
+                        "(default: --num-steps)")
+    p.add_argument("--min-lr-factor", type=float, default=0.0,
+                   help="Final LR as a fraction of the peak for "
+                        "cosine/linear schedules")
+    p.add_argument("--clip-grad-norm", type=float, default=None,
+                   help="Clip gradients to this global norm before AdamW "
+                        "(off by default, like the reference)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="Maintain an exponential moving average of the "
+                        "weights (e.g. 0.999); validation, previews and "
+                        "best-checkpoint tracking use the averaged weights, "
+                        "and checkpoints carry them (pose3d-eval --ema). "
+                        "Off by default, like the reference")
     p.add_argument("--no-tensorboard", action="store_true",
                    help="Disable TensorBoard logging (skips TF import)")
     p.add_argument("--augment", action="store_true",
@@ -193,14 +236,23 @@ def main(argv=None):
         import json
 
         model_args = json.loads(args.model_args)
+    data_state = None
     if args.checkpoint and Path(args.checkpoint).exists():
         # checkpoint model_args take precedence (reference main.py:103,116).
         meta = load_checkpoint_meta(args.checkpoint)
         model_type = meta.get("model_type", model_type)
         model_args = {**model_args, **meta.get("model_args", {})}
         start_step = meta.get("step", 0)
+        if not args.no_resume_data:
+            data_state = meta.get("data_state")
         logger.info("Resuming %s from %s at step %d",
                     model_type, args.checkpoint, start_step)
+        if data_state:
+            logger.info(
+                "Resuming data stream mid-epoch: epoch %d, %d samples "
+                "consumed (--no-resume-data disables)",
+                data_state["epoch"], data_state["samples_consumed"],
+            )
 
     model_cfg = make_model_config(model_type, **model_args)
     model, variables = init_model(
@@ -245,8 +297,18 @@ def main(argv=None):
             frozen_prefixes=("vit_backbone",),
             trainable_exceptions=("vit_backbone/patch_embed",),
         )
+    from pose3d_tpu.train.state import make_lr_schedule
+
+    lr_or_schedule = make_lr_schedule(
+        lr, schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        decay_steps=args.schedule_steps or args.num_steps,
+        end_lr_factor=args.min_lr_factor,
+    )
     state = create_train_state(
-        model, variables, learning_rate=lr, weight_decay=cfg.weight_decay,
+        model, variables, learning_rate=lr_or_schedule,
+        weight_decay=cfg.weight_decay,
+        clip_grad_norm=args.clip_grad_norm,
+        ema=args.ema_decay is not None,
         **freeze_kw,
     )
     if args.checkpoint and Path(args.checkpoint).exists():
@@ -295,6 +357,9 @@ def main(argv=None):
         shard_id=shard_id, num_shards=num_shards,
     )
     train_ds.training = True
+    if data_state:
+        train_ds.set_epoch(int(data_state["epoch"]))
+        train_ds.skip_next_samples(int(data_state["samples_consumed"]))
     # Val is deliberately NOT host-sharded: under the global SPMD mesh
     # every process must issue the IDENTICAL sequence of eval_step calls
     # (they carry cross-host collectives), and with a streaming dataset
@@ -318,6 +383,27 @@ def main(argv=None):
         abs_root=cfg.abs_root_loss_weight,
     )
 
+    # Preemption safety: SIGTERM (the TPU-pod eviction signal) requests a
+    # graceful stop — finish the in-flight step, checkpoint with the data
+    # position, exit 0. SIGINT keeps its KeyboardInterrupt path (same
+    # checkpoint-on-exit guarantee inside train_model's finally).
+    import signal
+    import threading
+
+    stop_event = threading.Event()
+
+    def _on_sigterm(signum, frame):
+        logger.warning(
+            "SIGTERM received — will checkpoint and exit after the "
+            "current optimizer step."
+        )
+        stop_event.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (e.g. embedded use) — skip the handler
+
     state, last_step = train_model(
         state, model_type, train_loader, val_loader,
         model=model, model_args=model_cfg.to_dict(), mesh=mesh,
@@ -332,6 +418,23 @@ def main(argv=None):
         compat_pa_metric=args.compat_pa_metric,
         accum_mode=args.accum_mode,
         param_sharding=args.param_sharding,
+        data_state=data_state,
+        stop_event=stop_event,
+        keep_checkpoints=args.keep_checkpoints,
+        ema_decay=args.ema_decay,
+        profile=(
+            (
+                args.profile_at if args.profile_at is not None
+                else start_step + 5,
+                args.profile_steps,
+                args.profile_dir or (
+                    str(log_dir) if not args.no_tensorboard
+                    and jax.process_index() == 0
+                    else f"{cfg.checkpoint_prefix}_profile"
+                ),
+            )
+            if args.profile_steps else None
+        ),
         augment=(
             make_device_augment(DeviceAugmentConfig(
                 enable_rotation=args.augment_device_rotation,

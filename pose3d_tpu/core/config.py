@@ -147,6 +147,34 @@ class CNNModelConfig:
     residual_scale: float = 1.0
     depthwise_kernel_size: int = 3
 
+    def __post_init__(self):
+        # Fail at config time with a clear message instead of an opaque
+        # flax concat/shape error deep inside the first forward pass.
+        h, w = self.image_size
+        if self.heatmap_size != h or self.heatmap_size != w:
+            raise ValueError(
+                "CNNModelConfig: heatmap_size must equal image_size — the "
+                "forward pass concatenates [image, depth, heatmaps] on the "
+                "channel axis at full resolution (reference cnn.py:641-665); "
+                f"got heatmap_size={self.heatmap_size}, "
+                f"image_size={self.image_size}"
+            )
+        expected_in = 3 + 1 + self.num_joints
+        if self.in_channels != expected_in:
+            raise ValueError(
+                "CNNModelConfig: in_channels must be 3 (RGB) + 1 (depth) + "
+                f"num_joints heatmaps = {expected_in}; got {self.in_channels} "
+                f"(num_joints={self.num_joints})"
+            )
+        if not (len(self.stage_channels) == len(self.stage_depths)
+                == len(self.stage_strides) == len(self.stage_expand_ratios)):
+            raise ValueError(
+                "CNNModelConfig: stage_channels/stage_depths/stage_strides/"
+                "stage_expand_ratios must all have the same length; got "
+                f"{len(self.stage_channels)}/{len(self.stage_depths)}/"
+                f"{len(self.stage_strides)}/{len(self.stage_expand_ratios)}"
+            )
+
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
@@ -197,6 +225,32 @@ class TransformerModelConfig:
     vit_depth: int = 12
     vit_heads: int = 12
     vit_patch_size: int = 16
+
+    def __post_init__(self):
+        h, w = self.image_size
+        if h % self.vit_patch_size or w % self.vit_patch_size:
+            raise ValueError(
+                "TransformerModelConfig: image_size must be divisible by "
+                f"vit_patch_size={self.vit_patch_size}; got {self.image_size}"
+            )
+        if self.heatmap_size % self.heatmap_patch_size:
+            raise ValueError(
+                "TransformerModelConfig: heatmap_size must be divisible by "
+                f"heatmap_patch_size={self.heatmap_patch_size}; got "
+                f"{self.heatmap_size}"
+            )
+        if self.transformer_embed_dim % self.transformer_heads:
+            raise ValueError(
+                "TransformerModelConfig: transformer_embed_dim must be "
+                f"divisible by transformer_heads; got "
+                f"{self.transformer_embed_dim} / {self.transformer_heads}"
+            )
+        if self.heatmap_in_channels != self.num_joints:
+            raise ValueError(
+                "TransformerModelConfig: heatmap_in_channels must equal "
+                f"num_joints; got {self.heatmap_in_channels} vs "
+                f"{self.num_joints}"
+            )
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

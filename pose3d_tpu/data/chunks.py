@@ -70,6 +70,28 @@ def chunk_id_from_filename(path) -> int:
     return int(m.group(1)) if m else 0
 
 
+def count_chunk_samples(tar_path, cache_dir=None) -> int:
+    """Number of samples in a chunk archive WITHOUT decoding any images.
+
+    Used by the deterministic mid-epoch resume fast-forward: a chunk that is
+    skipped entirely only needs its sample count (to keep the shuffle RNG
+    stream aligned), not its pixels. Prefers the already-extracted cache
+    copy of ``samples.pkl``; otherwise streams the tar until the pickle
+    member is found (no extraction to disk)."""
+    tar_path = Path(tar_path)
+    if cache_dir is not None:
+        chunk_id = chunk_id_from_filename(tar_path)
+        cached = Path(cache_dir) / f"chunk_{chunk_id:06d}" / "samples.pkl"
+        if cached.exists():
+            with open(cached, "rb") as f:
+                return len(pickle.load(f))
+    with tarfile.open(tar_path, "r:*") as tar:
+        for member in tar:
+            if member.isfile() and Path(member.name).name == "samples.pkl":
+                return len(pickle.load(tar.extractfile(member)))
+    raise FileNotFoundError(f"No samples.pkl inside archive {tar_path}")
+
+
 def extract_chunk(tar_path, cache_dir) -> Path:
     """Extract a chunk archive into ``cache_dir``; skip if already extracted
     (reference chunked_dataset.py:329-341). Returns the chunk directory.

@@ -28,6 +28,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 from pose3d_tpu.data.chunks import (
     chunk_id_from_filename,
+    count_chunk_samples,
     decode_chunk_samples,
     extract_chunk,
     list_chunk_files,
@@ -54,6 +55,7 @@ class ChunkPrefetcher:
         root_relative: bool = True,
         decode_group: int = 64,
         shuffle_seed: Optional[int] = None,
+        skip_samples: int = 0,
     ):
         self.chunk_files = [Path(f) for f in chunk_files]
         self.cache_dir = Path(cache_dir)
@@ -71,6 +73,13 @@ class ChunkPrefetcher:
         # preserves the reference's within-chunk shuffle semantics.
         self.decode_group = decode_group
         self.shuffle_seed = shuffle_seed
+        # Deterministic mid-epoch resume: fast-forward this many samples of
+        # the (shuffled) stream before emitting anything. Chunks that are
+        # skipped entirely are never extracted or decoded — only their
+        # sample COUNT is read (chunks.count_chunk_samples), and the shared
+        # shuffle RNG is advanced by an equivalent shuffle of [0..n) so the
+        # ordering of every subsequent chunk matches the original epoch.
+        self.skip_samples = int(skip_samples)
 
         # queue holds decoded GROUPS; scale capacity accordingly
         self.chunk_queue: "queue.Queue" = queue.Queue(
@@ -91,15 +100,38 @@ class ChunkPrefetcher:
 
     def _worker(self):
         rng = random.Random(self.shuffle_seed)
+        skip = self.skip_samples
         for chunk_file in self.chunk_files:
             if self.stop_event.is_set():
                 return
             try:
                 chunk_id = chunk_id_from_filename(chunk_file)
+                if skip > 0:
+                    # Whole-chunk fast-forward without extraction/decode.
+                    n = count_chunk_samples(chunk_file, self.cache_dir)
+                    if skip >= n:
+                        if self.shuffle_seed is not None:
+                            # random.shuffle draws depend only on len():
+                            # advancing on an index list reproduces the
+                            # exact RNG state of shuffling the real list.
+                            rng.shuffle(list(range(n)))
+                        skip -= n
+                        logger.info(
+                            "resume fast-forward: skipped chunk %d "
+                            "(%d samples, %d remaining)", chunk_id, n, skip,
+                        )
+                        continue
                 chunk_dir = extract_chunk(chunk_file, self.cache_dir)
                 samples = load_chunk_samples(chunk_dir)
                 if self.shuffle_seed is not None:
                     rng.shuffle(samples)
+                if skip > 0:
+                    logger.info(
+                        "resume fast-forward: skipping %d/%d samples of "
+                        "chunk %d", skip, len(samples), chunk_id,
+                    )
+                    samples = samples[skip:]
+                    skip = 0
                 n_dec = 0
                 g = self.decode_group
                 for lo in range(0, len(samples), g):
@@ -120,6 +152,13 @@ class ChunkPrefetcher:
             except Exception:
                 logger.exception("Error prefetching chunk %s", chunk_file)
                 continue
+        if skip > 0:
+            logger.warning(
+                "resume fast-forward exhausted the chunk list with %d "
+                "samples still to skip — the dataset is smaller than when "
+                "the checkpoint was written; this epoch yields nothing.",
+                skip,
+            )
         self._put(None)  # sentinel: no more chunks
 
     def get_next_chunk(self):
@@ -203,6 +242,9 @@ class StreamingChunkedDataset:
         self.decode_workers = decode_workers
         self.root_relative = root_relative
         self._epoch = 0
+        self.current_epoch = 0
+        self.current_epoch_base = 0
+        self._skip_next = 0
 
     def __len__(self):
         # Estimated length: nominal 1000 samples/chunk
@@ -213,9 +255,29 @@ class StreamingChunkedDataset:
         if getattr(self, "_own_tempdir", False):
             shutil.rmtree(self.cache_dir, ignore_errors=True)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch used by the NEXT ``__iter__`` (deterministic
+        resume: the per-epoch stream order is a pure function of
+        ``(seed, epoch)`` — chunk-order shuffle and within-chunk shuffles
+        both derive from ``Random(seed + epoch)``)."""
+        self._epoch = int(epoch)
+
+    def skip_next_samples(self, n: int) -> None:
+        """Fast-forward the NEXT ``__iter__`` by ``n`` samples of its
+        (shuffled) stream — consumed once; later epochs start clean.
+        Entirely-skipped chunks are neither extracted nor decoded."""
+        self._skip_next = int(n)
+
     def __iter__(self) -> Iterator[Dict]:
+        self.current_epoch = self._epoch
         rng = random.Random(self.seed + self._epoch)
         self._epoch += 1
+        skip, self._skip_next = self._skip_next, 0
+        # Samples of this epoch consumed BEFORE this iterator (resume
+        # fast-forward) — positions reported downstream must include it,
+        # or a checkpoint taken after a resume would record a position
+        # relative to the truncated stream instead of the epoch.
+        self.current_epoch_base = skip
         files = list(self.chunk_files)
         if self.shuffle_chunks:
             rng.shuffle(files)
@@ -229,6 +291,7 @@ class StreamingChunkedDataset:
             # within-chunk shuffle happens by pre-shuffling the sample list
             # before grouped decode (sub-chunk pipelining)
             shuffle_seed=rng.randrange(2**31) if self.shuffle else None,
+            skip_samples=skip,
         )
         try:
             while True:
@@ -267,13 +330,32 @@ class BatchLoader:
 
     def _batches_once(self):
         buf: List[Dict] = []
+        batch_idx = 0
         for sample in self.dataset:
             buf.append(sample)
             if len(buf) == self.batch_size:
-                yield collate_fixed(buf, self.image_size)
+                b = collate_fixed(buf, self.image_size)
+                # Stream position for deterministic resume: consuming this
+                # batch means base+(batch_idx+1)*batch_size samples of
+                # epoch ``current_epoch`` are done (base = samples skipped
+                # by a resume fast-forward). Host-only metadata — dropped
+                # by device_batch/_superbatches' key filters.
+                b["_pos"] = (
+                    getattr(self.dataset, "current_epoch", 0),
+                    getattr(self.dataset, "current_epoch_base", 0)
+                    + (batch_idx + 1) * self.batch_size,
+                )
+                yield b
+                batch_idx += 1
                 buf = []
         if buf and not self.drop_last:
-            yield collate_fixed(buf, self.image_size)
+            b = collate_fixed(buf, self.image_size)
+            b["_pos"] = (
+                getattr(self.dataset, "current_epoch", 0),
+                getattr(self.dataset, "current_epoch_base", 0)
+                + batch_idx * self.batch_size + len(buf),
+            )
+            yield b
 
     def _batches(self):
         while True:

@@ -54,10 +54,16 @@ def commit_state_to_mesh(state, mesh: Mesh, specs: Dict):
     )
     bs_sh = jax.tree_util.tree_map(lambda _: repl, state.batch_stats)
 
-    tree = (state.step, state.params, state.opt_state, state.batch_stats)
-    shardings = (repl, param_sh, opt_sh, bs_sh)
-    step, params, opt_state, batch_stats = jax.device_put(tree, shardings)
+    tree = [state.step, state.params, state.opt_state, state.batch_stats]
+    shardings = [repl, param_sh, opt_sh, bs_sh]
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        # EMA weights mirror the param tree — same specs
+        tree.append(ema)
+        shardings.append(param_sh)
+    placed = jax.device_put(tuple(tree), tuple(shardings))
+    kw = {"ema_params": placed[4]} if ema is not None else {}
     return state.replace(
-        step=step, params=params, opt_state=opt_state,
-        batch_stats=batch_stats,
+        step=placed[0], params=placed[1], opt_state=placed[2],
+        batch_stats=placed[3], **kw,
     )

@@ -28,9 +28,12 @@ def checkpoint_path(prefix: str, model_type: str, step: int) -> Path:
     return Path(f"{prefix}_{model_type}_step_{step}")
 
 
-def save_checkpoint(path, state, model_type: str, model_args: Dict) -> Path:
+def save_checkpoint(path, state, model_type: str, model_args: Dict,
+                    extra_meta: Dict = None) -> Path:
     """Save state + architecture metadata. ``state`` is a TrainState or any
-    pytree with params/batch_stats/opt_state/step."""
+    pytree with params/batch_stats/opt_state/step. ``extra_meta`` entries
+    (e.g. ``data_state`` for deterministic mid-epoch resume) are merged
+    into meta.json."""
     from pose3d_tpu.core.transfer import bulk_device_get
 
     path = Path(path).absolute()
@@ -40,6 +43,8 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict) -> Path:
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    if getattr(state, "ema_params", None) is not None:
+        tree["ema_params"] = state.ema_params
     # One bulk device→host transfer; letting orbax fetch per-array costs
     # ~1 s/array through a remote-TPU tunnel (225 arrays ≈ 4 min).
     tree = bulk_device_get(tree)
@@ -50,11 +55,98 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict) -> Path:
         "model_type": model_type,
         "model_args": model_args,
         "format": "pose3d_tpu/v1",
+        **(extra_meta or {}),
     }
     with open(path / "meta.json", "w") as f:
         json.dump(meta, f, indent=2)
     logger.info("Saved checkpoint to %s", path)
     return path
+
+
+def _sibling_checkpoints(prefix: str, model_type: str):
+    """All checkpoint dirs written under ``{prefix}_{model_type}_step_*``,
+    as (step, path) sorted by step. Only directories that carry our own
+    meta.json are considered — retention must never touch anything this
+    framework didn't write."""
+    import re
+
+    base = Path(f"{prefix}_{model_type}_step_0").absolute().parent
+    name = Path(f"{prefix}_{model_type}_step_").name
+    out = []
+    pat = re.compile(re.escape(name) + r"(\d+)$")
+    if not base.exists():
+        return out
+    for p in base.iterdir():
+        m = pat.fullmatch(p.name)
+        if m and p.is_dir() and (p / "meta.json").exists():
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def best_checkpoint_path(prefix: str, model_type: str) -> Path:
+    return Path(f"{prefix}_{model_type}_best.json").absolute()
+
+
+def record_best(prefix: str, model_type: str, step: int, mpjpe: float,
+                ckpt_path) -> bool:
+    """Track the best-by-validation-MPJPE checkpoint in a sidecar JSON
+    (the reference keeps no best-model pointer, SURVEY.md §5). Returns True
+    when ``mpjpe`` improves on the recorded best."""
+    bp = best_checkpoint_path(prefix, model_type)
+    best = None
+    if bp.exists():
+        try:
+            with open(bp) as f:
+                best = json.load(f)
+        except Exception:
+            logger.warning("Unreadable best-checkpoint record %s", bp)
+    if best is not None and float(best.get("mpjpe", float("inf"))) <= mpjpe:
+        return False
+    with open(bp, "w") as f:
+        json.dump(
+            {"step": int(step), "mpjpe": float(mpjpe),
+             "path": str(Path(ckpt_path).absolute())},
+            f, indent=2,
+        )
+    logger.info("New best checkpoint at step %d (MPJPE %.2f mm)", step, mpjpe)
+    return True
+
+
+def apply_retention(prefix: str, model_type: str, keep_last: int) -> None:
+    """Delete all but the newest ``keep_last`` checkpoints for this
+    prefix/model_type, always protecting the recorded best checkpoint.
+    Opt-in (the reference keeps every checkpoint; so does this framework
+    unless --keep-checkpoints is given)."""
+    import shutil
+
+    if keep_last is None or keep_last < 1:
+        return
+    ckpts = _sibling_checkpoints(prefix, model_type)
+    protect = set()
+    bp = best_checkpoint_path(prefix, model_type)
+    if bp.exists():
+        try:
+            with open(bp) as f:
+                protect.add(Path(json.load(f)["path"]).absolute())
+        except Exception:
+            pass
+    for _step, p in ckpts[:-keep_last]:
+        if p.absolute() in protect:
+            continue
+        logger.info("Retention: removing old checkpoint %s", p)
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def checkpoint_has_ema(path) -> bool:
+    """Whether the checkpoint carries EMA weights (saved by training with
+    ema enabled) — checked from the orbax metadata, no array reads."""
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            md = ckptr.metadata(Path(path).absolute() / "state")
+        md_tree = getattr(getattr(md, "item_metadata", md), "tree", md)
+        return "ema_params" in md_tree
+    except Exception:
+        return False
 
 
 def load_checkpoint_meta(path) -> Dict:
@@ -85,6 +177,20 @@ def load_checkpoint(path, template_state=None) -> Tuple[Dict, Dict]:
                 "batch_stats": template_state.batch_stats,
                 "opt_state": template_state.opt_state,
             }
+            if getattr(template_state, "ema_params", None) is not None:
+                # include EMA weights only when the checkpoint carries them
+                # (a pre-EMA checkpoint restores into an EMA-enabled state,
+                # which keeps its freshly-initialized ema_params)
+                try:
+                    md = ckptr.metadata(path / "state")
+                    md_tree = getattr(
+                        getattr(md, "item_metadata", md), "tree", md
+                    )
+                    has_ema = "ema_params" in md_tree
+                except Exception:
+                    has_ema = False
+                if has_ema:
+                    template["ema_params"] = template_state.ema_params
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
             )
@@ -118,6 +224,10 @@ def restore_train_state(state, path):
                 params=tree["params"],
                 batch_stats=tree["batch_stats"],
                 opt_state=tree["opt_state"],
+                **(
+                    {"ema_params": tree["ema_params"]}
+                    if "ema_params" in tree else {}
+                ),
             ),
             meta,
         )
@@ -126,11 +236,15 @@ def restore_train_state(state, path):
             "Full state restore failed for %s; retrying params-only", path
         )
         tree, meta = load_checkpoint(path)
+        kw = {}
+        if "ema_params" in tree and getattr(state, "ema_params", None) is not None:
+            kw["ema_params"] = tree["ema_params"]
         return (
             state.replace(
                 step=jax.numpy.asarray(tree["step"]),
                 params=tree["params"],
                 batch_stats=tree.get("batch_stats", state.batch_stats),
+                **kw,
             ),
             meta,
         )

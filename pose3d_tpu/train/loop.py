@@ -49,10 +49,18 @@ def _superbatches(loader: Iterable[Dict], accum: int, compact: bool = True):
             return
         if compact:
             group = [compact_batch(g) for g in group]
-        yield {
+        out = {
             k: np.stack([g[k] for g in group])
             for k in keys if k in group[0]
         }
+        # Data-stream position of the LAST microbatch (host-only metadata
+        # from BatchLoader, for deterministic mid-epoch resume): consuming
+        # this superbatch advances the stream to exactly this position —
+        # correct even when the group straddles an epoch boundary under
+        # BatchLoader(loop=True).
+        if "_pos" in group[-1]:
+            out["_pos"] = group[-1]["_pos"]
+        yield out
 
 
 def _device_prefetch(iterator, mesh, depth: int = 2):
@@ -69,14 +77,18 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
 
         def put(b):
             return {
-                k: jax.device_put(
+                k: v if k.startswith("_") else jax.device_put(
                     v, NamedSharding(mesh, P(*([None, "data"] + [None] * (v.ndim - 2))))
                 )
                 for k, v in b.items()
             }
     else:
         def put(b):
-            return jax.device_put(b)
+            host = {k: v for k, v in b.items() if k.startswith("_")}
+            dev = jax.device_put(
+                {k: v for k, v in b.items() if not k.startswith("_")}
+            )
+            return {**dev, **host}
 
     buf = collections.deque()
     for item in iterator:
@@ -88,7 +100,8 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
 
 
 def evaluate(eval_step, state, val_loader,
-             pad_to: Optional[int] = None) -> Dict[str, float]:
+             pad_to: Optional[int] = None,
+             per_action: bool = False) -> Dict[str, float]:
     """Full validation pass: sample-weighted averages of loss components,
     MPJPE and PA-MPJPE (reference src/train.py:203-277).
 
@@ -97,9 +110,15 @@ def evaluate(eval_step, state, val_loader,
     recompile) and the padding is masked out of the averages — exact
     metrics over the full set. With multiple JAX processes, each host
     evaluates its own (host-sharded) batches and the sums are combined
-    across hosts."""
+    across hosts.
+
+    ``per_action`` additionally buckets MPJPE/PA-MPJPE by each batch's
+    ``action`` metadata (the standard H3.6M per-action protocol — the
+    reference reports only the overall mean); the result gains a
+    ``"per_action"`` dict {action: {mpjpe, pa_mpjpe, count}}."""
     totals: Dict[str, float] = {}
     count = 0
+    action_totals: Dict[str, Dict[str, float]] = {}
     for batch in val_loader:
         bs = batch["image"].shape[0]
         db = {
@@ -114,11 +133,19 @@ def evaluate(eval_step, state, val_loader,
                 for k, v in db.items()
             }
         metrics, _ = eval_step(state, db)
-        metrics = jax.device_get(metrics)
+        metrics = {k: np.asarray(v) for k, v in jax.device_get(metrics).items()}
         for k, v in metrics.items():
-            v = np.asarray(v)
             totals[k] = totals.get(k, 0.0) + float(v[:bs].sum())
         count += bs
+        if per_action and batch.get("action") is not None:
+            for i in range(bs):
+                a = str(batch["action"][i])
+                acc = action_totals.setdefault(
+                    a, {"mpjpe": 0.0, "pa_mpjpe": 0.0, "count": 0}
+                )
+                acc["mpjpe"] += float(metrics["mpjpe"][i])
+                acc["pa_mpjpe"] += float(metrics["pa_mpjpe"][i])
+                acc["count"] += 1
     if count == 0:
         # A misconfigured --val-chunks must not silently degrade to
         # "no validation" (round-1 finding).
@@ -126,7 +153,17 @@ def evaluate(eval_step, state, val_loader,
             "Validation loader yielded no batches — check --val-chunks / "
             "--chunks-dir (empty validation would otherwise be silent)."
         )
-    return {k: v / count for k, v in totals.items()}
+    out = {k: v / count for k, v in totals.items()}
+    if per_action:
+        out["per_action"] = {
+            a: {
+                "mpjpe": acc["mpjpe"] / acc["count"],
+                "pa_mpjpe": acc["pa_mpjpe"] / acc["count"],
+                "count": acc["count"],
+            }
+            for a, acc in sorted(action_totals.items())
+        }
+    return out
 
 
 def train_model(
@@ -153,6 +190,11 @@ def train_model(
     accum_mode: str = "grouped",
     augment=None,
     param_sharding: str = "replicated",
+    data_state: Optional[Dict] = None,
+    stop_event=None,
+    keep_checkpoints: Optional[int] = None,
+    profile: Optional[tuple] = None,
+    ema_decay: Optional[float] = None,
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -161,7 +203,29 @@ def train_model(
     this environment's remote-TPU tunnel a per-step device_get costs tens
     of milliseconds and serializes the dispatch pipeline (round-1 finding —
     the gap between 258 img/s device capability and 36 img/s end-to-end).
-    TB still receives one scalar per step, written in batches."""
+    TB still receives one scalar per step, written in batches.
+
+    ``data_state`` {epoch, samples_consumed} seeds the data-stream position
+    bookkeeping on resume (the caller fast-forwards the dataset itself via
+    StreamingChunkedDataset.set_epoch/skip_next_samples); every checkpoint
+    records the position reached, so training resumes mid-epoch on the
+    exact next sample. ``stop_event`` (threading.Event) requests a graceful
+    stop: the loop finishes the in-flight optimizer step, checkpoints
+    (including the data position), and returns — the preemption story for
+    TPU pods (SIGTERM is wired to this in cli/main). ``keep_checkpoints``
+    enables retention of only the N newest checkpoints (the recorded
+    best-by-val-MPJPE checkpoint is always protected).
+
+    ``profile`` (start_at_step, num_steps, log_dir) captures a
+    ``jax.profiler`` xplane trace of optimizer steps start_at+1..start_at+N
+    into ``log_dir`` (viewable in TensorBoard's profile plugin or via
+    utils/profiling.summarize_trace — aggregate the serialized 'XLA Ops'
+    line only, docs/ROUND3.md). The window forces one device readback at
+    its end so the async dispatch queue drains inside the trace.
+
+    ``ema_decay`` maintains an EMA of the params inside the train step
+    (requires create_train_state(ema=True)); validation, previews and
+    best-checkpoint tracking then run on the averaged weights."""
     import time
 
     import jax.numpy as jnp
@@ -184,6 +248,7 @@ def train_model(
         train_step = make_train_step(
             model, loss_weights, mesh=mesh, accum_mode=accum_mode,
             augment=augment, state_sharding="auto", state_like=state,
+            ema_decay=ema_decay,
         )
     else:
         if param_sharding == "fsdp":
@@ -192,7 +257,12 @@ def train_model(
                 "replicated parameters instead."
             )
         train_step = make_train_step(model, loss_weights, mesh=mesh,
-                                     accum_mode=accum_mode, augment=augment)
+                                     accum_mode=accum_mode, augment=augment,
+                                     ema_decay=ema_decay)
+    # Validation/preview/best-tracking run on the EMA weights when enabled.
+    from pose3d_tpu.train.state import with_ema_params
+
+    eval_view = with_ema_params if ema_decay is not None else (lambda s: s)
     eval_step = make_eval_step(
         model, loss_weights, mesh=mesh, compat_pa=compat_pa_metric,
         per_sample=True,
@@ -205,6 +275,21 @@ def train_model(
     global_step = start_step
     last_ckpt_step = start_step
     target = num_steps if num_steps is not None else float("inf")
+    # Data-stream position (epoch, samples consumed in it) — updated per
+    # optimizer step from the loader-attached batch positions, persisted in
+    # every checkpoint's meta.json for deterministic mid-epoch resume.
+    last_pos = None
+    if data_state:
+        last_pos = (
+            int(data_state["epoch"]), int(data_state["samples_consumed"])
+        )
+
+    def _ckpt_meta():
+        if last_pos is None:
+            return None
+        return {"data_state": {
+            "epoch": last_pos[0], "samples_consumed": last_pos[1],
+        }}
     val_preview_iter = iter(val_loader) if val_loader is not None else None
 
     # --- batched async metric logging -----------------------------------
@@ -257,18 +342,50 @@ def train_model(
         window_t0 = time.perf_counter()
         return last
 
+    prof = None
+    if profile is not None:
+        prof_at, prof_n, prof_dir = profile
+        prof = {"at": int(prof_at), "until": int(prof_at) + int(prof_n),
+                "dir": str(prof_dir), "active": False}
+
+    stopped = False
     try:
         for _epoch in range(max_epochs):
-            if global_step >= target:
+            if global_step >= target or stopped:
                 break
             for superbatch in _device_prefetch(
                 _superbatches(train_loader, gradient_accumulation_steps), mesh
             ):
                 if global_step >= target:
                     break
+                if stop_event is not None and stop_event.is_set():
+                    logger.warning(
+                        "Graceful stop requested — checkpointing at step %d "
+                        "and exiting.", global_step,
+                    )
+                    stopped = True
+                    break
+                pos = superbatch.pop("_pos", None)
+                if prof and not prof["active"] and global_step == prof["at"]:
+                    logger.info(
+                        "Starting profiler trace (steps %d..%d) -> %s",
+                        prof["at"] + 1, prof["until"], prof["dir"],
+                    )
+                    jax.profiler.start_trace(prof["dir"])
+                    prof["active"] = True
                 step_rng = jax.random.fold_in(rng, global_step)
                 state, metrics = train_step(state, superbatch, step_rng)
                 global_step += 1
+                if prof and prof["active"] and global_step >= prof["until"]:
+                    # drain the async dispatch queue INSIDE the trace —
+                    # block_until_ready does not actually wait on the
+                    # tunneled TPU (CLAUDE.md), a readback does.
+                    np.asarray(metrics["total_loss"])
+                    jax.profiler.stop_trace()
+                    prof["active"] = False
+                    logger.info("Profiler trace written to %s", prof["dir"])
+                if pos is not None:
+                    last_pos = (int(pos[0]), int(pos[1]))
                 pending_steps.append(global_step)
                 pending_metrics.append(metrics)
                 pending_images += (
@@ -300,7 +417,7 @@ def train_model(
                                 "check --val-chunks / --chunks-dir."
                             ) from None
                     _, preds = eval_step(
-                        state,
+                        eval_view(state),
                         {
                             k: preview[k]
                             for k in ("image", "depth", "keypoints_2d", "joints_3d")
@@ -329,12 +446,13 @@ def train_model(
 
                 # Full validation + checkpoint (reference train.py:192-309).
                 if global_step % eval_interval_steps == 0:
+                    val_mpjpe = None
                     if val_loader is not None:
                         logger.info(
                             "Full validation at step %d ...", global_step
                         )
                         val = evaluate(
-                            eval_step, state, val_loader,
+                            eval_step, eval_view(state), val_loader,
                             pad_to=getattr(val_loader, "batch_size", None),
                         )
                         # evaluate() raises on an empty loader, so val is
@@ -362,12 +480,30 @@ def train_model(
                             global_step, val["total_loss"],
                             val["mpjpe"], val["pa_mpjpe"],
                         )
+                        val_mpjpe = val["mpjpe"]
                     if is_primary:
-                        save_checkpoint(
+                        ckpt_path = save_checkpoint(
                             f"{checkpoint_prefix}_{model_type}"
                             f"_step_{global_step}",
                             state, model_type, model_args,
+                            extra_meta=_ckpt_meta(),
                         )
+                        if val_mpjpe is not None:
+                            from pose3d_tpu.train.checkpoint import record_best
+
+                            record_best(
+                                checkpoint_prefix, model_type,
+                                global_step, val_mpjpe, ckpt_path,
+                            )
+                        if keep_checkpoints is not None:
+                            from pose3d_tpu.train.checkpoint import (
+                                apply_retention,
+                            )
+
+                            apply_retention(
+                                checkpoint_prefix, model_type,
+                                keep_checkpoints,
+                            )
                     last_ckpt_step = global_step
                     # preview/eval/checkpoint time must not pollute the
                     # next Perf/* window (it would inflate step_time_ms
@@ -384,11 +520,27 @@ def train_model(
         # decode error, eval raise) — must flush metrics and preserve
         # progress since the last periodic save (round-1 finding; a crash
         # AT the eval step would otherwise lose eval_interval-1 steps).
+        if prof and prof["active"]:
+            # training ended inside the trace window — close it so the
+            # partial trace is still viewable
+            try:
+                jax.profiler.stop_trace()
+                logger.info(
+                    "Profiler trace (partial) written to %s", prof["dir"]
+                )
+            except Exception:
+                logger.exception("Failed to stop profiler trace")
         _flush_metrics()
         if global_step > last_ckpt_step and is_primary:
             save_checkpoint(
                 f"{checkpoint_prefix}_{model_type}_step_{global_step}",
-                state, model_type, model_args,
+                state, model_type, model_args, extra_meta=_ckpt_meta(),
             )
+            if keep_checkpoints is not None:
+                from pose3d_tpu.train.checkpoint import apply_retention
+
+                apply_retention(
+                    checkpoint_prefix, model_type, keep_checkpoints
+                )
         writer.flush()
     return state, global_step

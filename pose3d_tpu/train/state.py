@@ -21,16 +21,70 @@ class TrainState:
     apply_fn: Any = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
+    # Exponential moving average of params (opt-in production extra; the
+    # reference has no weight averaging). None = disabled — None is an
+    # empty pytree so jit/sharding treat the state identically.
+    ema_params: Any = None
+
+
+def make_lr_schedule(
+    learning_rate: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: Optional[int] = None,
+    end_lr_factor: float = 0.0,
+):
+    """Learning-rate schedule factory. The reference trains at a fixed LR
+    (src/config.py:20, no scheduler anywhere in src/train.py) — that stays
+    the default; cosine/linear decay with linear warmup are opt-in
+    production extras. Returns a float for "constant" without warmup (so
+    the default optimizer state is unchanged), else an optax schedule."""
+    schedule = (schedule or "constant").lower()
+    if schedule == "constant" and not warmup_steps:
+        return learning_rate
+    if schedule != "constant" and not decay_steps:
+        raise ValueError(
+            f"lr schedule '{schedule}' needs decay_steps (the step budget "
+            "over which to decay; pass --num-steps or --schedule-steps)"
+        )
+    if schedule == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.constant_schedule(learning_rate)],
+            [warmup_steps],
+        )
+    end_value = learning_rate * end_lr_factor
+    if schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, decay_steps,
+            end_value=end_value,
+        )
+    if schedule == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.linear_schedule(
+                 learning_rate, end_value,
+                 max(decay_steps - warmup_steps, 1))],
+            [warmup_steps],
+        )
+    raise ValueError(f"Unknown lr schedule: {schedule!r} "
+                     "(expected constant|cosine|linear)")
+
 
 def make_optimizer(
-    learning_rate: float = 1e-3,
+    learning_rate=1e-3,
     weight_decay: float = 0.01,
     params=None,
     frozen_prefixes: Sequence[str] = (),
     trainable_exceptions: Sequence[str] = (),
+    clip_grad_norm: Optional[float] = None,
 ):
     """AdamW with the reference's hyperparameters (src/config.py:20-22,
     main.py:130-132).
+
+    ``learning_rate`` may be a float or an optax schedule
+    (make_lr_schedule). ``clip_grad_norm`` prepends global-norm gradient
+    clipping — opt-in; the reference never clips.
 
     ``frozen_prefixes`` freezes parameter subtrees by path prefix
     ("a/b/..."), with ``trainable_exceptions`` re-enabling nested subtrees
@@ -41,6 +95,10 @@ def make_optimizer(
     trainable_exceptions=["vit_backbone/patch_embed"]``.
     """
     base = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if clip_grad_norm is not None:
+        base = optax.chain(
+            optax.clip_by_global_norm(float(clip_grad_norm)), base
+        )
     if not frozen_prefixes:
         return base
     if params is None:
@@ -70,11 +128,13 @@ def make_optimizer(
 def create_train_state(
     model,
     variables: Dict,
-    learning_rate: float = 1e-3,
+    learning_rate=1e-3,
     weight_decay: float = 0.01,
     tx: Optional[optax.GradientTransformation] = None,
     frozen_prefixes: Sequence[str] = (),
     trainable_exceptions: Sequence[str] = (),
+    clip_grad_norm: Optional[float] = None,
+    ema: bool = False,
 ) -> TrainState:
     if tx is None:
         tx = make_optimizer(
@@ -82,6 +142,7 @@ def create_train_state(
             params=variables.get("params"),
             frozen_prefixes=frozen_prefixes,
             trainable_exceptions=trainable_exceptions,
+            clip_grad_norm=clip_grad_norm,
         )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -92,4 +153,18 @@ def create_train_state(
         opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
+        # EMA starts at the initial params. COPIED buffers, not aliases —
+        # the train step donates the state, and donating the same buffer
+        # through both params and ema_params is an XLA error.
+        ema_params=(
+            jax.tree_util.tree_map(jax.numpy.copy, params) if ema else None
+        ),
     )
+
+
+def with_ema_params(state: TrainState) -> TrainState:
+    """State whose live params are the EMA weights — feed to eval/export.
+    No-op when EMA is disabled."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)

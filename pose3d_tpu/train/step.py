@@ -73,6 +73,7 @@ def make_train_step(
     bn_momentum: float = 0.9,
     augment=None,
     state_like=None,
+    ema_decay: Optional[float] = None,
 ):
     """Build the jitted train step.
 
@@ -127,6 +128,11 @@ def make_train_step(
     committed placement of the input arrays — used for tensor parallelism
     and FSDP, where pose3d_tpu.parallel.shard_state_for_{tp,fsdp}
     pre-places the params and GSPMD propagates their layouts.
+
+    ``ema_decay``: maintain an exponential moving average of the params
+    inside the step (state.ema_params ← d·ema + (1−d)·params after the
+    optimizer update; requires create_train_state(ema=True)). Evaluate or
+    export the averaged weights via train.state.with_ema_params.
 
     ``state_like``: optional pre-sharded TrainState whose committed
     placements pin BOTH in_ and out_shardings of the state under
@@ -238,11 +244,24 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        kw = {}
+        if ema_decay is not None:
+            if state.ema_params is None:
+                raise ValueError(
+                    "ema_decay given but the state carries no ema_params — "
+                    "build it with create_train_state(..., ema=True)"
+                )
+            d = ema_decay
+            kw["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p,
+                state.ema_params, params,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
+            **kw,
         )
         metrics = jax.tree_util.tree_map(jnp.mean, comps_seq)
         return new_state, metrics

@@ -22,6 +22,7 @@ def make_synthetic_chunk(
     prefix: str = "train",
     seed: int = 0,
     compression: str = "gz",
+    num_actions: int = 1,
 ):
     """Write ``<out_dir>/<prefix>/dataset_chunk_<idx:06d>.tar.gz`` with
     known contents. Returns (tar_path, samples) where samples carry the
@@ -68,7 +69,7 @@ def make_synthetic_chunk(
                 "c": [w / 2, h / 2],
             },
             "bbox": [0, 0, w, h],
-            "action": 2,
+            "action": 2 + (i % num_actions),
             "subaction": 1,
             "frame_idx": i,
             "cam_idx": 1,

@@ -132,3 +132,26 @@ def test_full_pipeline(tmp_path, monkeypatch):
     assert joints.shape == (17, 3)
     assert np.all(np.isfinite(joints))
     assert len(list(out.glob("*_combined_viz.png"))) == 6
+
+    # --- 6. resume mid-stream through the CLI, with retention -----------
+    # The step-2 checkpoint recorded the data position (6 train samples
+    # per epoch at 4/step → step 2 ended at epoch 1, 2 samples consumed).
+    assert meta["data_state"] == {"epoch": 1, "samples_consumed": 2}
+    last_step = train_cli.main([
+        "--chunks-dir", str(dataset), "--cache-dir", str(tmp_path / "cache"),
+        "--checkpoint", str(ckpt),
+        "--num-steps", "4", "--batch-size", "2", "--grad-accum", "2",
+        "--eval-interval", "2", "--no-tensorboard", "--augment-device",
+        "--keep-checkpoints", "1",
+    ])
+    assert last_step == 4
+    meta4 = json.loads(
+        Path("model_epoch__cnn_step_4/meta.json").read_text()
+    )
+    # resumed positions are epoch-absolute and keep compounding
+    assert meta4["data_state"] == {"epoch": 2, "samples_consumed": 4}
+    # retention kept the newest (+ the protected best); best is recorded
+    assert Path("model_epoch__cnn_best.json").exists()
+    remaining = sorted(Path(".").glob("model_epoch__cnn_step_*"))
+    assert Path("model_epoch__cnn_step_4") in remaining
+    assert len(remaining) <= 2

@@ -1,0 +1,175 @@
+"""EMA weight averaging (opt-in production extra; the reference has no
+weight averaging — SURVEY.md §5 checkpoint/resume: no best-model tracking,
+no averaging). The EMA lives inside the jitted train step, rides the
+TrainState/checkpoints, and drives validation + pose3d-eval --ema."""
+
+import numpy as np
+import jax
+import pytest
+
+from pose3d_tpu.core.config import CNNModelConfig
+from pose3d_tpu.models import init_model
+from pose3d_tpu.train import create_train_state, make_train_step
+from pose3d_tpu.train.checkpoint import (
+    checkpoint_has_ema,
+    restore_train_state,
+    save_checkpoint,
+)
+from pose3d_tpu.train.state import with_ema_params
+
+TINY = CNNModelConfig(
+    image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+    stage_channels=(8, 16, 32), stage_depths=(1, 1, 1),
+    initial_channels=8, global_pool_size=2, global_feature_dim=16,
+    regression_dims=(16,),
+)
+
+
+def _batch(rng, a=1, b=2):
+    return {
+        "image": rng.uniform(size=(a, b, 32, 32, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 8, size=(a, b, 32, 32, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(0.1, 0.9, size=(a, b, 17, 2)).astype(
+            np.float32),
+        "joints_3d": (rng.normal(size=(a, b, 17, 3)) * 100).astype(
+            np.float32),
+    }
+
+
+def test_ema_tracks_closed_form():
+    """After k steps: ema_k = d^k·p0 + (1−d)·Σ d^(k−i)·p_i (p_i = params
+    after step i) — verified leaf-by-leaf over 3 real optimizer steps."""
+    d = 0.9
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    step = make_train_step(model, donate=False, ema_decay=d)
+
+    leaves = jax.tree_util.tree_leaves
+    expected = [np.asarray(x) for x in leaves(state.params)]
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        state, _ = step(state, _batch(rng), jax.random.PRNGKey(i))
+        expected = [
+            e * d + (1 - d) * np.asarray(p)
+            for e, p in zip(expected, leaves(state.params))
+        ]
+    for e, a in zip(expected, leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), e, rtol=1e-6, atol=1e-7)
+    # live params differ from the average
+    assert any(
+        not np.allclose(np.asarray(p), np.asarray(e))
+        for p, e in zip(leaves(state.params), leaves(state.ema_params))
+    )
+
+
+def test_ema_requires_enabled_state():
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables)  # ema off
+    step = make_train_step(model, donate=False, ema_decay=0.99)
+    with pytest.raises(ValueError, match="ema"):
+        step(state, _batch(np.random.default_rng(0)), jax.random.PRNGKey(0))
+
+
+def test_with_ema_params_swap():
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    step = make_train_step(model, donate=False, ema_decay=0.5)
+    state, _ = step(state, _batch(np.random.default_rng(1)),
+                    jax.random.PRNGKey(0))
+    sw = with_ema_params(state)
+    for a, b in zip(jax.tree_util.tree_leaves(sw.params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no-op when disabled
+    plain = create_train_state(model, variables)
+    assert with_ema_params(plain) is plain
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    step = make_train_step(model, donate=False, ema_decay=0.8)
+    state, _ = step(state, _batch(np.random.default_rng(2)),
+                    jax.random.PRNGKey(0))
+
+    path = save_checkpoint(tmp_path / "ck_cnn_step_1", state, "cnn",
+                           TINY.to_dict())
+    assert checkpoint_has_ema(path)
+
+    model2, variables2 = init_model(TINY, batch_size=2)
+    fresh = create_train_state(model2, variables2, ema=True)
+    restored, _ = restore_train_state(fresh, path)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pre_ema_checkpoint_restores_into_ema_state(tmp_path):
+    """A checkpoint written WITHOUT ema must fully restore (params + opt
+    state, no silent params-only fallback) into an EMA-enabled state,
+    which keeps its freshly initialized ema_params."""
+    model, variables = init_model(TINY, batch_size=2)
+    plain = create_train_state(model, variables)
+    step = make_train_step(model, donate=False)
+    plain, _ = step(plain, _batch(np.random.default_rng(3)),
+                    jax.random.PRNGKey(0))
+    path = save_checkpoint(tmp_path / "old_cnn_step_1", plain, "cnn",
+                           TINY.to_dict())
+    assert not checkpoint_has_ema(path)
+
+    model2, variables2 = init_model(TINY, batch_size=2)
+    fresh = create_train_state(model2, variables2, ema=True)
+    restored, _ = restore_train_state(fresh, path)
+    # params AND optimizer state came from the checkpoint (a params-only
+    # fallback would leave opt_state at init — all-zero moments)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(plain.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(plain.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ema stayed at the fresh init (not garbage, not missing)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(fresh.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(restored.step)) == 1
+
+
+def test_train_model_ema_validation(tmp_path):
+    """train_model(ema_decay=...) checkpoints carry EMA weights and the
+    validation path runs on the averaged weights."""
+    from pose3d_tpu.train.loop import train_model
+
+    def loader(n):
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            yield {
+                "image": rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
+                "depth": rng.uniform(1, 8, size=(2, 32, 32, 1)).astype(
+                    np.float32),
+                "keypoints_2d": rng.uniform(
+                    0.1, 0.9, size=(2, 17, 2)).astype(np.float32),
+                "joints_3d": (rng.normal(size=(2, 17, 3)) * 100).astype(
+                    np.float32),
+                "image_size": np.array([[32, 32]] * 2),
+            }
+
+    class Val:
+        batch_size = 2
+
+        def __iter__(self):
+            return loader(2)
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    prefix = str(tmp_path / "ema")
+    state, last = train_model(
+        state, "cnn", loader(6), Val(),
+        model=model, model_args=TINY.to_dict(),
+        gradient_accumulation_steps=2, num_steps=3,
+        eval_interval_steps=2, preview_interval_steps=1000,
+        checkpoint_prefix=prefix, ema_decay=0.9,
+    )
+    assert last == 3
+    assert checkpoint_has_ema(f"{prefix}_cnn_step_2")
+    assert state.ema_params is not None

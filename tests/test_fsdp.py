@@ -201,3 +201,26 @@ def test_fsdp_tp_combined_vit_step():
     assert np.isfinite(float(jax.device_get(metrics)["total_loss"]))
     k2 = out.params["vit_backbone"]["block_0"]["Mlp_0"]["Dense_0"]["kernel"]
     assert k2.sharding.spec == P("data", "model")
+
+
+def test_fsdp_ema_follows_param_shardings():
+    """EMA weights mirror the param tree, so ZeRO-3 must shard them with
+    the SAME specs (commit.py) and the step must keep the layout."""
+    mesh = make_mesh((8,), ("data",))
+    model, variables = init_model(TINY_CNN, batch_size=8)
+    s = shard_state_for_fsdp(
+        create_train_state(model, variables, ema=True), mesh, min_size=512
+    )
+    for p, e in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s.ema_params)):
+        assert e.sharding.spec == p.sharding.spec
+
+    step = make_train_step(
+        model, mesh=mesh, donate=False, state_sharding="auto",
+        state_like=s, ema_decay=0.9,
+    )
+    out, _ = step(s, _batch(np.random.default_rng(5), 1, 8),
+                  jax.random.PRNGKey(0))
+    for p, e in zip(jax.tree_util.tree_leaves(out.params),
+                    jax.tree_util.tree_leaves(out.ema_params)):
+        assert e.sharding.spec == p.sharding.spec

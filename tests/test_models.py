@@ -132,3 +132,28 @@ def test_config_roundtrip_rebuilds_model():
                         train=False)
     )
     assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+
+
+def test_config_validation_clear_errors():
+    """Inconsistent model args must fail at config time with a readable
+    message, not as an opaque flax concat/shape error inside the first
+    forward pass."""
+    with pytest.raises(ValueError, match="heatmap_size must equal"):
+        CNNModelConfig(image_size=(64, 64), heatmap_size=32)
+    with pytest.raises(ValueError, match="in_channels"):
+        CNNModelConfig(image_size=(64, 64), heatmap_size=64, num_joints=14)
+    with pytest.raises(ValueError, match="same length"):
+        CNNModelConfig(
+            image_size=(64, 64), heatmap_size=64,
+            stage_channels=(8, 16), stage_depths=(1, 1, 1),
+        )
+    with pytest.raises(ValueError, match="divisible by vit_patch_size"):
+        TransformerModelConfig(image_size=(100, 100))
+    with pytest.raises(ValueError, match="heatmap_patch_size"):
+        TransformerModelConfig(heatmap_size=50)
+    with pytest.raises(ValueError, match="transformer_heads"):
+        TransformerModelConfig(
+            transformer_embed_dim=65, transformer_heads=16
+        )
+    with pytest.raises(ValueError, match="heatmap_in_channels"):
+        TransformerModelConfig(num_joints=14)

@@ -256,3 +256,141 @@ def test_empty_val_loader_raises_at_preview(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "ck_empty_cnn_step_*"))
+
+
+def test_per_action_eval_breakdown(tmp_path):
+    """evaluate(per_action=True) buckets MPJPE/PA-MPJPE by the H3.6M
+    action metadata; buckets are exact partitions of the overall mean."""
+    import pytest
+
+    from helpers_synthetic import make_synthetic_dataset
+    from pose3d_tpu.data import BatchLoader, StreamingChunkedDataset
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.loop import evaluate
+    from pose3d_tpu.train.step import make_eval_step
+    from tests.test_train import TINY
+
+    make_synthetic_dataset(tmp_path / "chunks", num_chunks=1,
+                           num_samples=7, image_hw=(32, 32),
+                           prefix="test", num_actions=3)
+    ds = StreamingChunkedDataset(
+        "test", str(tmp_path / "chunks"), image_size=(32, 32),
+        cache_dir=tmp_path / "cache", shuffle=False, shuffle_chunks=False,
+    )
+    loader = BatchLoader(ds, batch_size=2, drop_last=False)
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables)
+    ev = make_eval_step(model, per_sample=True)
+    metrics = evaluate(ev, state, loader, pad_to=2, per_action=True)
+
+    pa = metrics["per_action"]
+    assert set(pa) == {"2", "3", "4"}  # 7 samples over 3 actions
+    assert sum(m["count"] for m in pa.values()) == 7
+    weighted = sum(m["mpjpe"] * m["count"] for m in pa.values()) / 7
+    assert metrics["mpjpe"] == pytest.approx(weighted, rel=1e-6)
+
+
+def test_lr_schedules_and_grad_clip():
+    """Opt-in LR schedules + global-norm clipping (the reference trains at
+    a fixed LR with no clipping — constant stays the default)."""
+    import optax
+    import pytest
+
+    from pose3d_tpu.train.state import make_lr_schedule, make_optimizer
+
+    # constant without warmup stays a plain float (optimizer state parity
+    # with all existing checkpoints)
+    assert make_lr_schedule(1e-3) == 1e-3
+
+    warm = make_lr_schedule(1e-3, warmup_steps=4)
+    assert float(warm(0)) == 0.0
+    assert float(warm(4)) == pytest.approx(1e-3)
+    assert float(warm(1000)) == pytest.approx(1e-3)
+
+    cos = make_lr_schedule(1e-3, schedule="cosine", warmup_steps=2,
+                           decay_steps=10, end_lr_factor=0.1)
+    assert float(cos(2)) == pytest.approx(1e-3)
+    assert float(cos(10)) == pytest.approx(1e-4)
+
+    lin = make_lr_schedule(1e-3, schedule="linear", decay_steps=10)
+    assert float(lin(0)) == pytest.approx(1e-3)
+    assert float(lin(10)) == pytest.approx(0.0, abs=1e-12)
+
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_lr_schedule(1e-3, schedule="cosine")
+
+    # clipping: optimizer(clip=c) on raw grads == optimizer(no clip) on
+    # manually clipped grads
+    params = {"w": jnp.ones((4,)), "b": jnp.ones((2,))}
+    grads = {"w": jnp.full((4,), 30.0), "b": jnp.full((2,), 40.0)}
+    tx_clip = make_optimizer(1e-3, clip_grad_norm=1.0)
+    tx_plain = make_optimizer(1e-3)
+    gnorm = optax.global_norm(grads)
+    clipped = jax.tree_util.tree_map(lambda g: g / gnorm, grads)
+    u1, _ = tx_clip.update(grads, tx_clip.init(params), params)
+    u2, _ = tx_plain.update(clipped, tx_plain.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(u1),
+                    jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # a scheduled optimizer drives a real train state: warmup step 0 is a
+    # no-op update (lr 0)
+    from pose3d_tpu.train import create_train_state
+    from tests.test_train import TINY
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(
+        model, variables,
+        learning_rate=make_lr_schedule(1e-3, warmup_steps=3),
+    )
+    step = make_train_step(model, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(size=(1, 2, 32, 32, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 8, size=(1, 2, 32, 32, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(0.1, 0.9, size=(1, 2, 17, 2)).astype(
+            np.float32),
+        "joints_3d": (rng.normal(size=(1, 2, 17, 3)) * 100).astype(
+            np.float32),
+    }
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profile_window_writes_trace(tmp_path):
+    """train_model(profile=(at, n, dir)) captures a jax.profiler xplane
+    trace of the requested step window (the --profile-steps CLI path)."""
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.loop import train_model
+    from tests.test_train import TINY
+
+    def loader():
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            yield {
+                "image": rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
+                "depth": rng.uniform(1, 8, size=(2, 32, 32, 1)).astype(
+                    np.float32),
+                "keypoints_2d": rng.uniform(
+                    0.1, 0.9, size=(2, 17, 2)).astype(np.float32),
+                "joints_3d": (rng.normal(size=(2, 17, 3)) * 100).astype(
+                    np.float32),
+                "image_size": np.array([[32, 32]] * 2),
+            }
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables)
+    prof_dir = tmp_path / "prof"
+    train_model(
+        state, "cnn", loader(), None,
+        model=model, model_args=TINY.to_dict(),
+        gradient_accumulation_steps=1, num_steps=5,
+        eval_interval_steps=1000, preview_interval_steps=1000,
+        checkpoint_prefix=str(tmp_path / "ck"),
+        profile=(2, 2, str(prof_dir)),
+    )
+    traces = list(prof_dir.glob("plugins/profile/*/*.xplane.pb"))
+    assert traces, f"no xplane trace under {prof_dir}"
