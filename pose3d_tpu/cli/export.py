@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="xla (default) keeps the artifact free of "
                         "platform-specific custom calls; pallas embeds "
                         "the fused kernel (TPU-only artifact)")
+    p.add_argument("--ema", action="store_true",
+                   help="Export the checkpoint's EMA weights (recorded by "
+                        "training with --ema-decay)")
     p.add_argument("--quantize", type=str, default=None,
                    choices=["int8"],
                    help="weight-only per-channel int8 PTQ of the large "
@@ -82,10 +85,19 @@ def main(argv: Optional[List[str]] = None) -> str:
         model_cfg, batch_size=batch or 1,
         attention_backend=args.attention_backend,
     )
+    if args.ema:
+        from pose3d_tpu.train.checkpoint import checkpoint_has_ema
+
+        if not checkpoint_has_ema(checkpoint):
+            raise SystemExit(
+                f"--ema: checkpoint {checkpoint} carries no EMA weights "
+                "(train with --ema-decay to record them)"
+            )
     state, _ = restore_train_state(
-        create_train_state(model, variables), checkpoint
+        create_train_state(model, variables, ema=args.ema), checkpoint
     )
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    params = state.ema_params if args.ema else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
 
     exported = export_lifter(
         model, variables, tuple(model_cfg.image_size),
@@ -100,6 +112,7 @@ def main(argv: Optional[List[str]] = None) -> str:
             "image_size": list(model_cfg.image_size),
             "batch": args.batch_size,
             "quantize": args.quantize,
+            "ema": bool(args.ema),
         },
     )
     logger.info("Wrote serving artifact to %s", path)

@@ -41,13 +41,14 @@ logger = logging.getLogger("Inference")
 VIZ_THUMBNAIL_SIZE = (500, 500)
 
 
-def load_pose_model(checkpoint_path, model_type=None):
+def load_pose_model(checkpoint_path, model_type=None, ema=False):
     """Rebuild architecture from checkpoint metadata and load weights
     (reference infer.py:73-131). Returns (model, variables, config).
 
     A raw reference torch ``.pth`` (self-describing, bare state_dict, or
     ``module.``-prefixed) is accepted directly and converted on the fly —
-    drop-in parity with the reference's own loader."""
+    drop-in parity with the reference's own loader. ``ema=True`` loads the
+    EMA weights recorded by training with ``--ema-decay``."""
     from pose3d_tpu.cli.convert import ensure_framework_checkpoint
 
     checkpoint_path = ensure_framework_checkpoint(
@@ -58,8 +59,17 @@ def load_pose_model(checkpoint_path, model_type=None):
     model_cfg = make_model_config(model_type, **meta.get("model_args", {}))
     model, variables = init_model(model_cfg, batch_size=1)
     tree, _ = load_checkpoint(checkpoint_path)
+    params = tree["params"]
+    if ema:
+        if "ema_params" not in tree:
+            raise SystemExit(
+                f"--ema: checkpoint {checkpoint_path} carries no EMA "
+                "weights (train with --ema-decay to record them)"
+            )
+        params = tree["ema_params"]
+        logger.info("Using EMA weights")
     variables = {
-        "params": tree["params"],
+        "params": params,
         "batch_stats": tree.get("batch_stats", variables.get("batch_stats", {})),
     }
     logger.info("3D Pose Model loaded successfully (%s).", model_type)
@@ -164,7 +174,7 @@ def run(args):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     model, variables, model_cfg = load_pose_model(
-        args.checkpoint_path, args.model_type
+        args.checkpoint_path, args.model_type, ema=getattr(args, "ema", False)
     )
     extra = {}
     if args.stage1 == "jax" and args.data_parallel:
@@ -304,6 +314,9 @@ def build_parser():
     p.add_argument("--output_folder", type=str, default="inference_output")
     p.add_argument("--num_joints", type=int, default=17)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--ema", action="store_true",
+                   help="Use the checkpoint's EMA weights (recorded by "
+                        "training with --ema-decay)")
     p.add_argument("--stage1", type=str, default="cached",
                    choices=["cached", "jax"],
                    help="Stage-1 backend: cached preprocess artifacts or "

@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", type=str, default=None,
                    help="Directory to cache extracted chunks")
     p.add_argument("--checkpoint", type=str, default=None,
-                   help="Explicit checkpoint path to load")
+                   help="Checkpoint path to load, or 'auto' to resume from "
+                        "the newest checkpoint for this prefix/model-type "
+                        "(fresh start when none exists — the idempotent "
+                        "restart-after-preemption invocation)")
     p.add_argument("--start-step", type=int,
                    help="Global step index to resume from")
     p.add_argument("--no-resume-data", action="store_true",
@@ -228,6 +231,20 @@ def main(argv=None):
 
     model_type = (args.model_type or cfg.model_type).lower()
     start_step = 0
+
+    if args.checkpoint == "auto":
+        # auto-resume: newest checkpoint for this prefix/model_type —
+        # a preempted job restarted with the SAME command line resumes
+        # itself (pairs with the SIGTERM checkpoint-and-exit path)
+        from pose3d_tpu.train.checkpoint import latest_checkpoint
+
+        found = latest_checkpoint(cfg.checkpoint_prefix, model_type)
+        if found is not None:
+            args.checkpoint = str(found)
+            logger.info("Auto-resume: found %s", found)
+        else:
+            args.checkpoint = None
+            logger.info("Auto-resume: no checkpoint found — fresh start")
 
     # Resume path: architecture from checkpoint metadata
     # (reference main.py:112-144 contract).

@@ -83,6 +83,16 @@ def _sibling_checkpoints(prefix: str, model_type: str):
     return sorted(out)
 
 
+def latest_checkpoint(prefix: str, model_type: str):
+    """Newest (highest-step) checkpoint dir for this prefix/model_type, or
+    None. Powers ``--checkpoint auto``: a preempted job restarted with the
+    SAME command line picks up from its last save (pairs with the SIGTERM
+    checkpoint-and-exit path; the reference requires naming the .pth by
+    hand on every resume)."""
+    ckpts = _sibling_checkpoints(prefix, model_type)
+    return ckpts[-1][1] if ckpts else None
+
+
 def best_checkpoint_path(prefix: str, model_type: str) -> Path:
     return Path(f"{prefix}_{model_type}_best.json").absolute()
 

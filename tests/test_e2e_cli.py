@@ -155,3 +155,13 @@ def test_full_pipeline(tmp_path, monkeypatch):
     remaining = sorted(Path(".").glob("model_epoch__cnn_step_*"))
     assert Path("model_epoch__cnn_step_4") in remaining
     assert len(remaining) <= 2
+
+    # --- 7. auto-resume: same command line picks up the newest ckpt ------
+    last_step = train_cli.main([
+        "--chunks-dir", str(dataset), "--cache-dir", str(tmp_path / "cache"),
+        "--checkpoint", "auto", "--model-type", "cnn",
+        "--num-steps", "6", "--batch-size", "2", "--grad-accum", "2",
+        "--eval-interval", "100", "--no-tensorboard", "--augment-device",
+    ])
+    assert last_step == 6  # resumed from step 4, not from scratch
+    assert Path("model_epoch__cnn_step_6/meta.json").exists()

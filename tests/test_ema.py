@@ -135,6 +135,50 @@ def test_pre_ema_checkpoint_restores_into_ema_state(tmp_path):
     assert int(np.asarray(restored.step)) == 1
 
 
+def test_infer_loader_uses_ema(tmp_path):
+    """cli/infer.load_pose_model(ema=True) serves the EMA weights; a
+    checkpoint without them fails loudly."""
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    step = make_train_step(model, donate=False, ema_decay=0.5)
+    state, _ = step(state, _batch(np.random.default_rng(4)),
+                    jax.random.PRNGKey(0))
+    path = save_checkpoint(tmp_path / "ck_cnn_step_1", state, "cnn",
+                           TINY.to_dict())
+
+    from pose3d_tpu.cli.infer import load_pose_model
+
+    _, live_vars, _ = load_pose_model(path)
+    _, ema_vars, _ = load_pose_model(path, ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars["params"]),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(live_vars["params"]),
+                        jax.tree_util.tree_leaves(ema_vars["params"]))
+    )
+
+    plain = create_train_state(model, variables)
+    p2 = save_checkpoint(tmp_path / "plain_cnn_step_1", plain, "cnn",
+                         TINY.to_dict())
+    with pytest.raises(SystemExit, match="no EMA"):
+        load_pose_model(p2, ema=True)
+
+
+def test_latest_checkpoint(tmp_path):
+    from pose3d_tpu.train.checkpoint import latest_checkpoint
+
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables)
+    prefix = str(tmp_path / "auto")
+    assert latest_checkpoint(prefix, "cnn") is None
+    for s in (2, 10, 9):  # numeric, not lexicographic, ordering
+        save_checkpoint(f"{prefix}_cnn_step_{s}", state, "cnn",
+                        TINY.to_dict())
+    assert latest_checkpoint(prefix, "cnn").name == "auto_cnn_step_10"
+
+
 def test_train_model_ema_validation(tmp_path):
     """train_model(ema_decay=...) checkpoints carry EMA weights and the
     validation path runs on the averaged weights."""
