@@ -439,6 +439,7 @@ def main(argv=None):
         stop_event=stop_event,
         keep_checkpoints=args.keep_checkpoints,
         ema_decay=args.ema_decay,
+        lr_schedule=lr_or_schedule if callable(lr_or_schedule) else None,
         profile=(
             (
                 args.profile_at if args.profile_at is not None

@@ -195,6 +195,7 @@ def train_model(
     keep_checkpoints: Optional[int] = None,
     profile: Optional[tuple] = None,
     ema_decay: Optional[float] = None,
+    lr_schedule=None,
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -225,7 +226,11 @@ def train_model(
 
     ``ema_decay`` maintains an EMA of the params inside the train step
     (requires create_train_state(ema=True)); validation, previews and
-    best-checkpoint tracking then run on the averaged weights."""
+    best-checkpoint tracking then run on the averaged weights.
+
+    ``lr_schedule``: optional step->lr callable (state.make_lr_schedule);
+    logged to TensorBoard as Train/learning_rate alongside each metric
+    flush so scheduled runs show their actual LR curve."""
     import time
 
     import jax.numpy as jnp
@@ -324,6 +329,11 @@ def train_model(
                 writer.add_scalar(
                     f"Loss_Components/{k}", float(vals[i, j]), step_i
                 )
+        if lr_schedule is not None:
+            writer.add_scalar(
+                "Train/learning_rate",
+                float(lr_schedule(pending_steps[-1])), pending_steps[-1],
+            )
         flushes += 1
         if flushes > 1:  # first window contains jit/layout compiles
             n = len(pending_steps)

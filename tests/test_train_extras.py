@@ -360,6 +360,62 @@ def test_lr_schedules_and_grad_clip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_lr_schedule_logged_to_tb(tmp_path):
+    """train_model(lr_schedule=...) emits Train/learning_rate scalars."""
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.loop import train_model
+    from pose3d_tpu.train.state import make_lr_schedule
+    from tests.test_train import TINY
+
+    class Rec:
+        def __init__(self):
+            self.scalars = []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, float(value), step))
+
+        def add_image(self, *a, **k):
+            pass
+
+        def add_text(self, *a, **k):
+            pass
+
+        def flush(self):
+            pass
+
+    def loader():
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            yield {
+                "image": rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
+                "depth": rng.uniform(1, 8, size=(2, 32, 32, 1)).astype(
+                    np.float32),
+                "keypoints_2d": rng.uniform(
+                    0.1, 0.9, size=(2, 17, 2)).astype(np.float32),
+                "joints_3d": (rng.normal(size=(2, 17, 3)) * 100).astype(
+                    np.float32),
+            }
+
+    sched = make_lr_schedule(1e-3, schedule="cosine", decay_steps=10)
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, learning_rate=sched)
+    writer = Rec()
+    train_model(
+        state, "cnn", loader(), None,
+        model=model, model_args=TINY.to_dict(), writer=writer,
+        gradient_accumulation_steps=1, num_steps=3,
+        eval_interval_steps=1000, preview_interval_steps=1000,
+        log_interval_steps=1,
+        checkpoint_prefix=str(tmp_path / "lr"), lr_schedule=sched,
+    )
+    lrs = [(v, s) for t, v, s in writer.scalars
+           if t == "Train/learning_rate"]
+    assert lrs, "no Train/learning_rate scalars"
+    import pytest as _pytest
+    for v, s in lrs:
+        assert v == _pytest.approx(float(sched(s)))
+
+
 def test_profile_window_writes_trace(tmp_path):
     """train_model(profile=(at, n, dir)) captures a jax.profiler xplane
     trace of the requested step window (the --profile-steps CLI path)."""
