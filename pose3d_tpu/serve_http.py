@@ -237,7 +237,7 @@ class PipelineBatcher(MicroBatcher):
             lo += b
 
 
-def _load_pipeline_call(checkpoint, stage1_kwargs):
+def _load_pipeline_call(checkpoint, stage1_kwargs, ema=False):
     """Full reference pipeline as one batched callable: decoded RGB
     images -> stage 1 (batched keypoints + depth) -> jitted lifter ->
     joints. The serving twin of cli/infer's per-batch body (the
@@ -246,7 +246,7 @@ def _load_pipeline_call(checkpoint, stage1_kwargs):
     from pose3d_tpu.cli.infer import load_pose_model, make_lifter
     from pose3d_tpu.stage1 import get_stage1_provider
 
-    model, variables, model_cfg = load_pose_model(checkpoint)
+    model, variables, model_cfg = load_pose_model(checkpoint, ema=ema)
     provider = get_stage1_provider("jax", **stage1_kwargs)
     lift = make_lifter(model, variables, model_cfg)
 
@@ -437,6 +437,7 @@ def make_pipeline_server(
     max_wait_ms: float = 5.0,
     request_timeout_s: float = 600.0,
     stage1_kwargs: Optional[dict] = None,
+    ema: bool = False,
 ) -> ThreadingHTTPServer:
     """Full-pipeline server: POST an encoded image to /predict_image and
     get back npz{joints_3d, keypoints} — the reference's entire infer
@@ -444,7 +445,7 @@ def make_pipeline_server(
     one micro-batched service. ``stage1_kwargs`` go to JaxStage1
     (kp_weights/depth_weights/confidence_threshold/...)."""
     call, image_hw, num_joints = _load_pipeline_call(
-        checkpoint, stage1_kwargs or {}
+        checkpoint, stage1_kwargs or {}, ema=ema
     )
     batcher = PipelineBatcher(
         call, max_batch=max_batch, max_wait_ms=max_wait_ms
@@ -493,6 +494,9 @@ def main(argv=None) -> None:
     p.add_argument("--depth-weights", default=None,
                    help="pipeline mode: DepthPro safetensors")
     p.add_argument("--confidence-threshold", type=float, default=0.0)
+    p.add_argument("--ema", action="store_true",
+                   help="Serve the checkpoint's EMA weights (recorded by "
+                        "training with --ema-decay); pipeline mode only")
     p.add_argument("--allow-untrained", action="store_true",
                    help="pipeline mode: allow randomly initialized "
                         "stage-1 networks (noise output; testing only)")
@@ -510,6 +514,11 @@ def main(argv=None) -> None:
 
     apply_tpu_workarounds()
     if args.artifact:
+        if args.ema:
+            raise SystemExit(
+                "--ema applies to --checkpoint pipeline mode; for artifact "
+                "mode export the averaged weights with pose3d-export --ema"
+            )
         if not Path(args.artifact).exists():
             raise SystemExit(f"artifact not found: {args.artifact}")
         srv = make_server(
@@ -534,7 +543,7 @@ def main(argv=None) -> None:
         srv = make_pipeline_server(
             args.checkpoint, args.host, args.port,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-            stage1_kwargs=s1,
+            stage1_kwargs=s1, ema=args.ema,
         )
     try:
         srv.serve_forever()

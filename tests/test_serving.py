@@ -312,3 +312,14 @@ def test_pipeline_batcher_pads_with_repeat(pipeline_server):
         assert pb.stats()["samples_padded"] == 1
     finally:
         pb.close()
+
+
+def test_serve_ema_artifact_mode_rejected():
+    """--ema only applies to pipeline mode; artifact mode points the user
+    at pose3d-export --ema instead."""
+    import pytest
+
+    from pose3d_tpu import serve_http
+
+    with pytest.raises(SystemExit, match="--ema applies"):
+        serve_http.main(["--artifact", "/nonexistent", "--ema"])
