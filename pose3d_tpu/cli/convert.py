@@ -133,21 +133,51 @@ def ensure_framework_checkpoint(path, model_type: str = None) -> str:
 
 def build_parser():
     p = argparse.ArgumentParser(
-        description="Convert a reference torch .pth checkpoint to a "
-                    "pose3d_tpu checkpoint directory"
+        description="Convert checkpoints between the reference's torch "
+                    ".pth format and pose3d_tpu checkpoint directories "
+                    "(default: .pth -> directory; --to-torch reverses)"
     )
-    p.add_argument("pth", type=str)
-    p.add_argument("out", type=str)
+    p.add_argument("src", metavar="pth", type=str,
+                   help="source: a reference .pth (default direction) or a "
+                        "framework checkpoint directory (--to-torch)")
+    p.add_argument("out", type=str,
+                   help="destination: checkpoint directory (default) or "
+                        ".pth path (--to-torch)")
     p.add_argument("--model-type", type=str, default=None,
                    choices=["cnn", "transformer"],
                    help="Architecture for bare state_dicts that carry no "
                         "model_type (self-describing checkpoints ignore it)")
+    p.add_argument("--to-torch", action="store_true",
+                   help="Reverse direction: export a framework checkpoint "
+                        "directory to a reference-format .pth (drop-in for "
+                        "the reference's infer.py/main.py, incl. AdamW "
+                        "moments for training resume)")
+    p.add_argument("--ema", action="store_true",
+                   help="--to-torch: export the EMA weights recorded by "
+                        "--ema-decay training (omits optimizer state)")
+    p.add_argument("--no-optimizer", action="store_true",
+                   help="--to-torch: write momentum-free optimizer state")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="--to-torch: AdamW lr recorded in param_groups "
+                        "(reference config.py LEARNING_RATE default)")
+    p.add_argument("--weight-decay", type=float, default=0.01,
+                   help="--to-torch: AdamW weight decay in param_groups")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    return convert(args.pth, args.out, model_type=args.model_type)
+    if args.to_torch:
+        from pose3d_tpu.compat_export import export_torch_checkpoint
+
+        return export_torch_checkpoint(
+            args.src, args.out, ema=args.ema, lr=args.lr,
+            weight_decay=args.weight_decay,
+            include_optimizer=not args.no_optimizer,
+        )
+    if args.ema or args.no_optimizer:
+        raise SystemExit("--ema/--no-optimizer apply to --to-torch only")
+    return convert(args.src, args.out, model_type=args.model_type)
 
 
 if __name__ == "__main__":
