@@ -438,3 +438,30 @@ def test_transformer_export_cli_round_trip(tmp_path):
         jax.tree_util.tree_flatten_with_path(variables["params"])[0],
     ):
         np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_export_frozen_backbone_falls_back_to_fresh_optimizer(tmp_path):
+    """A frozen-backbone checkpoint stores masked placeholders where the
+    moments would be; the model export must still succeed, with a
+    momentum-free (but loadable) optimizer state."""
+    import json
+
+    from pose3d_tpu.compat_export import export_torch_checkpoint
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    cfg, model, variables = _our_transformer(seed=4)
+    state = create_train_state(
+        model, variables, frozen_prefixes=("vit_backbone",)
+    )
+    ck = save_checkpoint(
+        tmp_path / "ckpt", state, "transformer", json.loads(json.dumps(TKW)),
+    )
+    pth = tmp_path / "frozen.pth"
+    export_torch_checkpoint(str(ck), str(pth))
+    ckpt = torch.load(pth, weights_only=False)
+    skeleton = _reference_transformer_skeleton()
+    missing, unexpected = skeleton.load_state_dict(ckpt["model_state_dict"])
+    assert not missing and not unexpected
+    opt = torch.optim.AdamW(skeleton.parameters(), lr=1e-3)
+    opt.load_state_dict(ckpt["optimizer_state_dict"])  # loadable fallback
