@@ -157,27 +157,38 @@ def build_parser():
                         "--ema-decay training (omits optimizer state)")
     p.add_argument("--no-optimizer", action="store_true",
                    help="--to-torch: write momentum-free optimizer state")
-    p.add_argument("--lr", type=float, default=1e-3,
+    p.add_argument("--lr", type=float, default=None,
                    help="--to-torch: AdamW lr recorded in param_groups "
-                        "(reference config.py LEARNING_RATE default)")
-    p.add_argument("--weight-decay", type=float, default=0.01,
-                   help="--to-torch: AdamW weight decay in param_groups")
+                        "(default 1e-3, reference config.py LEARNING_RATE)")
+    p.add_argument("--weight-decay", type=float, default=None,
+                   help="--to-torch: AdamW weight decay in param_groups "
+                        "(default 0.01)")
     return p
 
 
-def main(argv=None):
+def main(argv=None) -> int:
+    # returns 0 so the console-script wrapper's sys.exit(main()) reports
+    # success (returning the output path would exit 1)
     args = build_parser().parse_args(argv)
     if args.to_torch:
         from pose3d_tpu.compat_export import export_torch_checkpoint
 
-        return export_torch_checkpoint(
-            args.src, args.out, ema=args.ema, lr=args.lr,
-            weight_decay=args.weight_decay,
+        export_torch_checkpoint(
+            args.src, args.out, ema=args.ema,
+            lr=args.lr if args.lr is not None else 1e-3,
+            weight_decay=(args.weight_decay
+                          if args.weight_decay is not None else 0.01),
             include_optimizer=not args.no_optimizer,
         )
-    if args.ema or args.no_optimizer:
-        raise SystemExit("--ema/--no-optimizer apply to --to-torch only")
-    return convert(args.src, args.out, model_type=args.model_type)
+        return 0
+    if args.ema or args.no_optimizer or args.lr is not None \
+            or args.weight_decay is not None:
+        raise SystemExit(
+            "--ema/--no-optimizer/--lr/--weight-decay apply to "
+            "--to-torch only"
+        )
+    convert(args.src, args.out, model_type=args.model_type)
+    return 0
 
 
 if __name__ == "__main__":

@@ -175,6 +175,55 @@ def _pose_head(sd, prefix, n_hidden: int):
     return p
 
 
+def iter_cnn_stage_blocks(cfg: CNNModelConfig):
+    """Replay the stage-assembly schedule both models share (reference
+    cnn.py:519-589 == our CNNPoseEstimation.__call__): yields one
+    ``(torch_prefix, flax_name, is_dual, att_type, expand, has_shortcut)``
+    per backbone block, in call order.
+
+    This is the single source of truth for the importer
+    (:func:`port_reference_cnn`) and the exporter
+    (compat_export.export_reference_cnn) — the two walks must stay exact
+    inverses. ``has_shortcut`` replays the DualPathBlock rule
+    ``stride != 1 or in_channels != out_channels`` (reference cnn.py:347)
+    with the true channel flow — a stage entry with stride 1 and an
+    unchanged channel count has NO shortcut conv.
+    """
+    irb = 0
+    dpb = 0
+    in_channels = cfg.initial_channels
+    for i in range(len(cfg.stage_channels)):
+        out_channels = cfg.stage_channels[i]
+        expand = cfg.stage_expand_ratios[i]
+        lead_att = "coord" if i >= 2 else "se"
+        for j in range(cfg.stage_depths[i]):
+            if j == 0:
+                is_dual = i >= 2 and cfg.use_dual_path_blocks
+                att = lead_att
+                stride = cfg.stage_strides[i]
+                block_in = in_channels
+            else:
+                is_dual = (
+                    i >= 2 and cfg.use_dual_path_blocks and j % 2 == 0
+                )
+                att = lead_att if is_dual else (
+                    "eca" if j % 2 == 0 else "se"
+                )
+                stride = 1
+                block_in = out_channels
+            if is_dual:
+                flax_name = f"DualPathBlock_{dpb}"
+                dpb += 1
+            else:
+                flax_name = f"InvertedResidual_{irb}"
+                irb += 1
+            yield (
+                f"stages.{i}.{j}.", flax_name, is_dual, att, expand,
+                stride != 1 or block_in != out_channels,
+            )
+        in_channels = out_channels
+
+
 def port_reference_cnn(sd: Dict, cfg: CNNModelConfig) -> Dict:
     """Map a reference CNNPoseEstimation state_dict onto our CNN's
     variables ({params, batch_stats})."""
@@ -184,45 +233,16 @@ def port_reference_cnn(sd: Dict, cfg: CNNModelConfig) -> Dict:
     params["ConvBnAct_0"], stats["ConvBnAct_0"] = _cba(sd, "conv1.0.")
     params["ConvBnAct_1"], stats["ConvBnAct_1"] = _cba(sd, "conv1.1.")
 
-    # Stage assembly — mirrors reference cnn.py:519-589 and our
-    # CNNPoseEstimation.__call__ exactly; flax numbers each block class in
-    # call order.
-    irb = 0
-    dpb = 0
-    n_stages = len(cfg.stage_channels)
-    for i in range(n_stages):
-        depth = cfg.stage_depths[i]
-        expand = cfg.stage_expand_ratios[i]
-        lead_att = "coord" if i >= 2 else "se"
-        for j in range(depth):
-            prefix = f"stages.{i}.{j}."
-            if j == 0:
-                is_dual = i >= 2 and cfg.use_dual_path_blocks
-                att = lead_att
-                stride = cfg.stage_strides[i]
-                changes = True  # channel count changes on stage entry
-            else:
-                is_dual = (
-                    i >= 2 and cfg.use_dual_path_blocks and j % 2 == 0
-                )
-                att = lead_att if is_dual else (
-                    "eca" if j % 2 == 0 else "se"
-                )
-                stride = 1
-                changes = False
-            if is_dual:
-                p, s = _dual_path(
-                    sd, prefix, has_shortcut=(stride != 1 or changes),
-                    att_type=att,
-                )
-                params[f"DualPathBlock_{dpb}"] = p
-                stats[f"DualPathBlock_{dpb}"] = s
-                dpb += 1
-            else:
-                p, s = _inverted_residual(sd, prefix, expand, att)
-                params[f"InvertedResidual_{irb}"] = p
-                stats[f"InvertedResidual_{irb}"] = s
-                irb += 1
+    for prefix, name, is_dual, att, expand, has_shortcut \
+            in iter_cnn_stage_blocks(cfg):
+        if is_dual:
+            params[name], stats[name] = _dual_path(
+                sd, prefix, has_shortcut=has_shortcut, att_type=att
+            )
+        else:
+            params[name], stats[name] = _inverted_residual(
+                sd, prefix, expand, att
+            )
 
     p, s = _wasp(sd, "wasp.")
     params["WASPModule_0"] = p

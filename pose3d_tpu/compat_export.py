@@ -219,37 +219,18 @@ def export_reference_cnn(variables: Dict, cfg) -> _Writer:
     w.b("heatmap_generator.x_grid", x_grid)
     w.b("heatmap_generator.y_grid", y_grid)
 
-    irb = 0
-    dpb = 0
-    for i in range(len(cfg.stage_channels)):
-        depth = cfg.stage_depths[i]
-        expand = cfg.stage_expand_ratios[i]
-        lead_att = "coord" if i >= 2 else "se"
-        for j in range(depth):
-            prefix = f"stages.{i}.{j}."
-            if j == 0:
-                is_dual = i >= 2 and cfg.use_dual_path_blocks
-                att = lead_att
-                stride = cfg.stage_strides[i]
-                changes = True  # channel count changes on stage entry
-            else:
-                is_dual = i >= 2 and cfg.use_dual_path_blocks and j % 2 == 0
-                att = lead_att if is_dual else ("eca" if j % 2 == 0 else "se")
-                stride = 1
-                changes = False
-            if is_dual:
-                _x_dual_path(
-                    w, params[f"DualPathBlock_{dpb}"],
-                    stats[f"DualPathBlock_{dpb}"], prefix,
-                    has_shortcut=(stride != 1 or changes), att_type=att,
-                )
-                dpb += 1
-            else:
-                _x_inverted_residual(
-                    w, params[f"InvertedResidual_{irb}"],
-                    stats[f"InvertedResidual_{irb}"], prefix, expand, att,
-                )
-                irb += 1
+    # shared stage schedule — keeps this walk and port_reference_cnn's
+    # exact inverses (incl. the shortcut rule) by construction
+    from pose3d_tpu.compat import iter_cnn_stage_blocks
+
+    for prefix, name, is_dual, att, expand, has_shortcut \
+            in iter_cnn_stage_blocks(cfg):
+        if is_dual:
+            _x_dual_path(w, params[name], stats[name], prefix,
+                         has_shortcut=has_shortcut, att_type=att)
+        else:
+            _x_inverted_residual(w, params[name], stats[name], prefix,
+                                 expand, att)
 
     _x_wasp(w, params["WASPModule_0"], stats["WASPModule_0"], "wasp.")
 
@@ -263,15 +244,16 @@ def export_reference_cnn(variables: Dict, cfg) -> _Writer:
     return w
 
 
-def _find_adam_moments(opt_state) -> Tuple[Dict, Dict]:
-    """Locate the (mu, nu) moment trees inside an optax opt_state restored
-    from a checkpoint (nested dicts) or live (NamedTuples)."""
+def _find_adam_moments(opt_state) -> Tuple[object, Dict, Dict]:
+    """Locate the (count, mu, nu) of the ScaleByAdamState inside an optax
+    opt_state restored from a checkpoint (nested dicts) or live
+    (NamedTuples)."""
     def walk(node):
         if hasattr(node, "mu") and hasattr(node, "nu"):  # ScaleByAdamState
-            return node.mu, node.nu
+            return getattr(node, "count", None), node.mu, node.nu
         if isinstance(node, dict):
             if "mu" in node and "nu" in node:
-                return node["mu"], node["nu"]
+                return node.get("count"), node["mu"], node["nu"]
             children = node.values()
         elif isinstance(node, (list, tuple)):
             children = node
@@ -300,13 +282,16 @@ def export_torch_optimizer_state(
     trees (they mirror the params tree, and AdamW moments must follow every
     layout transform — transposes included — since the update is
     elementwise). Param indices follow ``model.parameters()`` order, i.e.
-    the exporter's recorded parameter-key order. Moments whose shape cannot
-    be matched (e.g. frozen/masked subtrees) are omitted — torch
-    lazily initializes missing per-param state.
+    the exporter's recorded parameter-key order. The per-parameter Adam
+    ``step`` (which drives torch's bias correction) comes from the optax
+    ``ScaleByAdamState.count`` — NOT the training step, which diverges
+    when an imported checkpoint carries a fresh optimizer around an old
+    step counter; ``step`` is only the fallback when no count was stored.
     """
     import torch
 
-    mu, nu = _find_adam_moments(opt_state)
+    count, mu, nu = _find_adam_moments(opt_state)
+    adam_step = float(np.asarray(count)) if count is not None else float(step)
     stats = variables["batch_stats"]
     ref = exporter(variables, cfg)
     w_mu = exporter({"params": mu, "batch_stats": stats}, cfg)
@@ -318,7 +303,7 @@ def export_torch_optimizer_state(
         if m is None or v is None or m.shape != ref.sd[key].shape:
             continue
         state[idx] = {
-            "step": torch.tensor(float(step)),
+            "step": torch.tensor(adam_step),
             "exp_avg": torch.from_numpy(np.array(m, np.float32)),
             "exp_avg_sq": torch.from_numpy(np.array(v, np.float32)),
         }
@@ -385,20 +370,19 @@ def export_torch_checkpoint(
     model_args.pop("model_type", None)  # reference passes it positionally
 
     if include_optimizer and not ema:
-        try:
+        mismatch = _moments_mismatch_reason(tree["opt_state"], params)
+        if mismatch:
+            # expected for frozen-backbone checkpoints (masked subtrees);
+            # anything else in the mapping walk below raises loudly
+            logger.warning("optimizer state not exported (%s); the "
+                           "reference rebuilds fresh moments", mismatch)
+            opt_sd = _fresh_torch_optimizer_groups(
+                len(writer.param_keys), lr, weight_decay
+            )
+        else:
             opt_sd = export_torch_optimizer_state(
                 tree["opt_state"], variables, cfg, step,
                 lr=lr, weight_decay=weight_decay, exporter=exporter,
-            )
-        except Exception as e:
-            # e.g. a frozen-backbone checkpoint stores MaskedNode
-            # placeholders where the moments would be — the model export
-            # is unaffected, the reference just rebuilds fresh moments
-            logger.warning("optimizer state not exported (%s: %s); the "
-                           "reference rebuilds fresh moments",
-                           type(e).__name__, e)
-            opt_sd = _fresh_torch_optimizer_groups(
-                len(writer.param_keys), lr, weight_decay
             )
     else:
         opt_sd = _fresh_torch_optimizer_groups(
@@ -417,6 +401,26 @@ def export_torch_checkpoint(
     logger.info("Exported %s (step %d, %s%s) -> %s", checkpoint_dir, step,
                 model_type, " EMA" if ema else "", out_path)
     return str(out_path)
+
+
+def _moments_mismatch_reason(opt_state, params) -> str:
+    """Return why the optax moments cannot be mapped 1:1 onto ``params``
+    (no Adam state found, or a frozen/masked optimizer whose mu tree does
+    not mirror the params tree), or '' when they line up. Keeping this an
+    explicit structural check — instead of a broad except around the
+    mapping walk — lets real mapping regressions raise instead of being
+    silently downgraded to a momentum-free export."""
+    import jax
+
+    try:
+        _, mu, _ = _find_adam_moments(opt_state)
+    except ValueError as e:
+        return str(e)
+    s_mu = jax.tree_util.tree_structure(mu)
+    s_p = jax.tree_util.tree_structure(params)
+    if s_mu != s_p:
+        return "moments tree does not mirror params (frozen/masked subtrees)"
+    return ""
 
 
 def _fresh_torch_optimizer_groups(n_params: int, lr: float,

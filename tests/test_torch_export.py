@@ -163,7 +163,7 @@ def test_optimizer_state_exports_optax_moments():
     mu = None
     from pose3d_tpu.compat_export import _find_adam_moments
 
-    mu, _nu = _find_adam_moments(jax.device_get(state.opt_state))
+    _count, mu, _nu = _find_adam_moments(jax.device_get(state.opt_state))
     n_hidden = len(cfg.regression_dims)
     want = np.asarray(
         mu["PoseRegressionHead_0"][f"Dense_{n_hidden}"]["kernel"]).T
@@ -465,3 +465,89 @@ def test_export_frozen_backbone_falls_back_to_fresh_optimizer(tmp_path):
     assert not missing and not unexpected
     opt = torch.optim.AdamW(skeleton.parameters(), lr=1e-3)
     opt.load_state_dict(ckpt["optimizer_state_dict"])  # loadable fallback
+
+
+# -- review-pass regression tests --------------------------------------------
+
+def test_dual_path_stage_entry_without_shortcut_round_trips():
+    """A dual-path stage entry with stride 1 and an unchanged channel count
+    has NO shortcut conv (reference cnn.py:347); the shared stage schedule
+    must replay that in both directions and strict-load into the
+    reference model."""
+    kw = dict(
+        image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+        initial_channels=8, stage_channels=[8, 16, 16, 16],
+        stage_depths=[1, 1, 1, 2], stage_strides=[2, 2, 2, 1],
+        stage_expand_ratios=[1, 3, 6, 6],
+        global_pool_size=2, global_feature_dim=16, regression_dims=[16],
+        se_reduction=4,
+    )
+    cfg = CNNModelConfig.from_dict({**kw, "in_channels": 21})
+    model, variables = init_model(cfg, rng=jax.random.PRNGKey(9),
+                                  batch_size=2, dtype=jnp.float32)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    writer = export_reference_cnn(variables, cfg)
+
+    tmodel = RefCNN(RefModelConfig("cnn", **kw))
+    assert list(writer.sd.keys()) == list(tmodel.state_dict().keys())
+    missing, unexpected = tmodel.load_state_dict(_to_torch_sd(writer))
+    assert not missing and not unexpected
+
+    back = port_reference_cnn(writer.sd, cfg)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+        jax.tree_util.tree_flatten_with_path(back["params"])[0],
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_adam_step_comes_from_optax_count_not_meta_step(tmp_path):
+    """A reference .pth imported at a high step gets a FRESH optax
+    optimizer; exporting it back must write per-param Adam step 0 (the
+    moment count), not the training step — torch's bias correction would
+    otherwise over-scale the first resumed updates."""
+    import json
+
+    from pose3d_tpu.compat_export import export_torch_checkpoint
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    cfg, model, variables = _our_model(seed=6)
+    state = create_train_state(model, {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    })
+    state = state.replace(step=jax.numpy.asarray(50_000, jax.numpy.int32))
+    ck = save_checkpoint(
+        tmp_path / "ckpt", state, "cnn",
+        json.loads(json.dumps({**KW, "in_channels": 21})),
+    )
+    pth = tmp_path / "divergent.pth"
+    export_torch_checkpoint(str(ck), str(pth))
+    ckpt = torch.load(pth, weights_only=False)
+    assert ckpt["global_step"] == 50_000
+    steps = {float(s["step"]) for s in
+             ckpt["optimizer_state_dict"]["state"].values()}
+    assert steps == {0.0}
+
+
+def test_cli_exit_code_and_direction_flag_validation(tmp_path):
+    """main() returns 0 (the console wrapper sys.exit()s its return) and
+    direction-specific flags are rejected in the wrong direction."""
+    import json
+
+    from pose3d_tpu.cli.convert import main as convert_main
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train.checkpoint import save_checkpoint
+
+    cfg, model, variables = _our_model(seed=7)
+    state = create_train_state(model, variables)
+    ck = save_checkpoint(
+        tmp_path / "ckpt", state, "cnn",
+        json.loads(json.dumps({**KW, "in_channels": 21})),
+    )
+    pth = tmp_path / "o.pth"
+    assert convert_main([str(ck), str(pth), "--to-torch"]) == 0
+    with pytest.raises(SystemExit, match="--to-torch only"):
+        convert_main([str(pth), str(tmp_path / "fwd"), "--lr", "5e-4"])
+    assert convert_main([str(pth), str(tmp_path / "fwd")]) == 0
