@@ -153,5 +153,14 @@ def main(argv=None):
     return run(build_parser().parse_args(argv))
 
 
+def cli(argv=None) -> int:
+    """Console-script entry (pyproject [project.scripts]): the wrapper
+    calls ``sys.exit(cli())``, so return 0 — ``main``'s informative
+    return value (the metrics dict) would otherwise become the exit status and a
+    successful run would report failure."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

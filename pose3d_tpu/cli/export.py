@@ -119,5 +119,14 @@ def main(argv: Optional[List[str]] = None) -> str:
     return str(path)
 
 
+def cli(argv=None) -> int:
+    """Console-script entry (pyproject [project.scripts]): the wrapper
+    calls ``sys.exit(cli())``, so return 0 — ``main``'s informative
+    return value (the artifact path) would otherwise become the exit status and a
+    successful run would report failure."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(0 if main() else 1)

@@ -465,5 +465,14 @@ def main(argv=None):
     return last_step
 
 
+def cli(argv=None) -> int:
+    """Console-script entry (pyproject [project.scripts]): the wrapper
+    calls ``sys.exit(cli())``, so return 0 — ``main``'s informative
+    return value (the last optimizer step) would otherwise become the exit status and a
+    successful run would report failure."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -44,5 +44,14 @@ def main(argv=None):
     return n
 
 
+def cli(argv=None) -> int:
+    """Console-script entry (pyproject [project.scripts]): the wrapper
+    calls ``sys.exit(cli())``, so return 0 — ``main``'s informative
+    return value (chunks written) would otherwise become the exit status and a
+    successful run would report failure."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -54,5 +54,14 @@ def main(argv=None):
     return counters
 
 
+def cli(argv=None) -> int:
+    """Console-script entry (pyproject [project.scripts]): the wrapper
+    calls ``sys.exit(cli())``, so return 0 — ``main``'s informative
+    return value (split counters) would otherwise become the exit status and a
+    successful run would report failure."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()
