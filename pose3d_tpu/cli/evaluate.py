@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--prefix", type=str, default="test",
                    help="Chunk filename prefix subdirectory (train|test)")
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--chunk-io", choices=["auto", "stream", "extract"],
+                   default="auto",
+                   help="Chunk archive access mode (see pose3d-train)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--absolute-pose", action="store_true",
                    help="Evaluate absolute camera-space joints (DEP-P) "
@@ -115,7 +118,7 @@ def run(args) -> dict:
         args.prefix, args.chunks_dir, chunk_indices=args.val_chunks,
         image_size=tuple(model_cfg.image_size), cache_dir=cache_dir,
         shuffle=False, shuffle_chunks=False,
-        root_relative=not args.absolute_pose,
+        root_relative=not args.absolute_pose, chunk_io=args.chunk_io,
     )
     val_loader = BatchLoader(val_ds, batch_size, drop_last=False)
 

@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Chunk indices to use for validation")
     p.add_argument("--cache-dir", type=str, default=None,
                    help="Directory to cache extracted chunks")
+    p.add_argument("--chunk-io", choices=["auto", "stream", "extract"],
+                   default="auto",
+                   help="Chunk archive access: 'stream' inflates each "
+                        "archive straight into memory (native chunkio, no "
+                        "extract-to-disk), 'extract' uses the cache-dir "
+                        "extraction, 'auto' streams but reuses an existing "
+                        "extracted copy")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Checkpoint path to load, or 'auto' to resume from "
                         "the newest checkpoint for this prefix/model-type "
@@ -371,7 +378,7 @@ def main(argv=None):
             and (args.augment or cfg.use_augmentation)
         ),
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
-        shard_id=shard_id, num_shards=num_shards,
+        shard_id=shard_id, num_shards=num_shards, chunk_io=args.chunk_io,
     )
     train_ds.training = True
     if data_state:
@@ -390,6 +397,7 @@ def main(argv=None):
         "test", args.chunks_dir, chunk_indices=args.val_chunks,
         image_size=image_size, cache_dir=cache_dir,
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
+        chunk_io=args.chunk_io,
     )
     train_loader = BatchLoader(train_ds, batch_size, loop=True)
     val_loader = BatchLoader(val_ds, batch_size, drop_last=False)

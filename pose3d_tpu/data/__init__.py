@@ -2,6 +2,7 @@ from pose3d_tpu.data.chunks import (  # noqa: F401
     list_chunk_files,
     extract_chunk,
     load_chunk_samples,
+    open_chunk_store,
     decode_sample,
     decode_chunk_samples,
 )

@@ -156,6 +156,127 @@ def load_chunk_samples(chunk_dir) -> List[Dict]:
         return pickle.load(f)
 
 
+class DirChunkStore:
+    """Chunk contents as an extracted directory (the reference's layout,
+    chunked_dataset.py:329-341). ``read_member`` paths are relative to the
+    chunk dir (``data/NNNNNN/image.jpg``)."""
+
+    def __init__(self, chunk_dir):
+        self.chunk_dir = Path(chunk_dir)
+        self._samples: Optional[List[Dict]] = None
+
+    @property
+    def samples(self) -> List[Dict]:
+        if self._samples is None:
+            self._samples = load_chunk_samples(self.chunk_dir)
+        return self._samples
+
+    def read_member(self, relpath) -> Optional[bytes]:
+        try:
+            with open(self.chunk_dir / relpath, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def stat_member(self, relpath) -> Optional[int]:
+        """Member size in bytes, or None when absent (cheap stat — no
+        read; used by the rechunkers' validation)."""
+        p = self.chunk_dir / relpath
+        return p.stat().st_size if p.is_file() else None
+
+
+class MemoryChunkStore:
+    """Chunk contents held in memory — the archive is inflated ONCE (native
+    chunkio.cc, or the Python ``tarfile`` streaming fallback) and never
+    touches the disk cache. Member names keep the archive's top-level
+    ``chunk_XXXXXX/`` directory; ``read_member`` takes chunk-relative paths
+    like the sample dicts carry."""
+
+    def __init__(self, members: Dict[str, bytes]):
+        self._members = members
+        pkl = next(
+            (n for n in members
+             if n == "samples.pkl" or n.endswith("/samples.pkl")),
+            None,
+        )
+        if pkl is None:
+            raise FileNotFoundError("No samples.pkl member in chunk archive")
+        self._root = pkl[: -len("samples.pkl")]  # "" or "chunk_XXXXXX/"
+        self.samples: List[Dict] = pickle.loads(members[pkl])
+
+    def read_member(self, relpath) -> Optional[bytes]:
+        relpath = str(relpath)
+        blob = self._members.get(self._root + relpath)
+        return blob if blob is not None else self._members.get(relpath)
+
+    def stat_member(self, relpath) -> Optional[int]:
+        blob = self.read_member(relpath)
+        return None if blob is None else len(blob)
+
+
+def _stream_chunk_members(tar_path) -> Dict[str, bytes]:
+    """Python fallback for ``native.read_chunk_members``: sequential
+    streaming read of the archive into memory (no extraction to disk;
+    handles .tar.bz2/.xz too)."""
+    members: Dict[str, bytes] = {}
+    with tarfile.open(tar_path, "r|*") as tar:
+        for m in tar:
+            if m.isfile():
+                f = tar.extractfile(m)
+                if f is not None:
+                    members[m.name] = f.read()
+    return members
+
+
+def open_chunk_store(tar_path, cache_dir=None, mode: str = "auto"):
+    """Open a chunk archive as a store with ``.samples`` + ``.read_member``.
+
+    mode:
+      * ``"stream"``  — in-memory: native chunkio when built, else Python
+        tarfile streaming. No disk cache is written.
+      * ``"extract"`` — the reference's extract-to-cache-dir path
+        (requires ``cache_dir``).
+      * ``"auto"``    — reuse an already-extracted cache copy if present
+        (warm epochs cost no archive read), otherwise stream; fall back to
+        extraction if streaming fails.
+    """
+    from pose3d_tpu.data import native
+
+    tar_path = Path(tar_path)
+    if mode not in ("auto", "stream", "extract"):
+        raise ValueError(f"unknown chunk_io mode {mode!r}")
+    if mode == "extract":
+        if cache_dir is None:
+            raise ValueError("chunk_io='extract' needs a cache_dir")
+        return DirChunkStore(extract_chunk(tar_path, cache_dir))
+    if mode == "auto" and cache_dir is not None:
+        cached = (
+            Path(cache_dir)
+            / f"chunk_{chunk_id_from_filename(tar_path):06d}"
+        )
+        if (cached / "samples.pkl").exists():
+            return DirChunkStore(cached)
+    try:
+        members = native.read_chunk_members(tar_path)
+        if members is None:
+            members = _stream_chunk_members(tar_path)
+        return MemoryChunkStore(members)
+    except Exception:
+        if mode == "stream" or cache_dir is None:
+            raise
+        logger.exception(
+            "streaming read of %s failed — falling back to extraction",
+            tar_path,
+        )
+        return DirChunkStore(extract_chunk(tar_path, cache_dir))
+
+
+def _as_store(chunk_dir_or_store):
+    if hasattr(chunk_dir_or_store, "read_member"):
+        return chunk_dir_or_store
+    return DirChunkStore(chunk_dir_or_store)
+
+
 def _first_person_keypoints(keypoints_data) -> Optional[np.ndarray]:
     """Extract the first person's (x, y) keypoints from the metadata's
     list-of-dicts (or list-of-list-of-dicts) layout
@@ -189,20 +310,20 @@ def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17,
     """Metadata-side decode: keypoints, joints, depth min/max — everything
     except the pixel data (see decode_sample steps 3-7).
 
-    ``root_relative=False`` keeps absolute camera-space joints (DEP-P
-    training; the reference's pipeline always root-centers,
-    chunked_dataset.py:205-206 — the flag generalizes it)."""
-    chunk_dir = Path(chunk_dir)
+    ``chunk_dir`` may be an extracted directory path or any chunk store
+    (``open_chunk_store``). ``root_relative=False`` keeps absolute
+    camera-space joints (DEP-P training; the reference's pipeline always
+    root-centers, chunked_dataset.py:205-206 — the flag generalizes it)."""
+    store = _as_store(chunk_dir)
     try:
         metadata = {}
         meta_file = sample.get("metadata_file")
         if meta_file:
-            meta_path = chunk_dir / meta_file
-            if not meta_path.is_file():
-                logger.error("Metadata file missing: %s", meta_path)
+            blob = store.read_member(meta_file)
+            if blob is None:
+                logger.error("Metadata file missing: %s", meta_file)
                 return None
-            with open(meta_path) as f:
-                metadata = json.load(f)
+            metadata = json.loads(blob)
 
         dmin = float(sample.get("depth_min", metadata.get("depth_min", 0.0)))
         dmax = float(sample.get("depth_max", metadata.get("depth_max", 1.0)))
@@ -259,21 +380,22 @@ def decode_chunk_samples(
     batched decode each for all JPEG and depth-PNG blobs (GIL-free C++;
     falls back to per-image cv2 when native isn't built). This is the
     chunk-granularity replacement for the reference's 12-thread
-    per-sample Python pool (reference chunked_dataset.py:247-264)."""
+    per-sample Python pool (reference chunked_dataset.py:247-264).
+
+    ``chunk_dir`` may be an extracted directory path or any chunk store
+    (``open_chunk_store`` — in-memory streamed archives skip the disk
+    entirely)."""
     from pose3d_tpu.data import native
 
-    chunk_dir = Path(chunk_dir)
+    store = _as_store(chunk_dir)
     metas, img_blobs, dep_blobs = [], [], []
     for sample in samples:
-        meta = decode_sample_meta(sample, chunk_dir, num_joints, root_relative)
+        meta = decode_sample_meta(sample, store, num_joints, root_relative)
         if meta is None:
             continue
-        try:
-            with open(chunk_dir / sample["image_file"], "rb") as f:
-                ib = f.read()
-            with open(chunk_dir / sample["depth_file"], "rb") as f:
-                db = f.read()
-        except OSError:
+        ib = store.read_member(sample["image_file"])
+        db = store.read_member(sample["depth_file"])
+        if ib is None or db is None:
             logger.error("Missing pixel file for %s", sample.get("image_file"))
             continue
         metas.append(meta)

@@ -1,9 +1,12 @@
-"""ctypes bindings for the native decode tier (native/posedec.cc).
+"""ctypes bindings for the native host-pipeline tier (native/posedec.cc +
+native/chunkio.cc).
 
 ``decode_jpeg_batch`` / ``decode_png_gray_batch`` decode+resize+normalize a
 whole list of encoded blobs in one GIL-free C call with an internal thread
-pool. Falls back transparently to cv2 when the shared library has not been
-built (``make -C native``).
+pool. ``read_chunk_members`` inflates a whole chunk archive (tar / tar.gz)
+into memory in one native pass — no extract-to-disk. Both fall back
+transparently (cv2 / tarfile) when the shared library has not been built
+(``make -C native``).
 """
 
 from __future__ import annotations
@@ -51,6 +54,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                     ]
+                try:  # chunkio entry points (absent in pre-round-3 builds)
+                    lib.pd_chunk_open.restype = ctypes.c_void_p
+                    lib.pd_chunk_open.argtypes = [ctypes.c_char_p]
+                    lib.pd_chunk_count.restype = ctypes.c_int64
+                    lib.pd_chunk_count.argtypes = [ctypes.c_void_p]
+                    lib.pd_chunk_name.restype = ctypes.c_char_p
+                    lib.pd_chunk_name.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_int64]
+                    lib.pd_chunk_data.restype = ctypes.POINTER(ctypes.c_uint8)
+                    lib.pd_chunk_data.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int64),
+                    ]
+                    lib.pd_chunk_close.argtypes = [ctypes.c_void_p]
+                    lib.pd_chunk_error.restype = ctypes.c_char_p
+                    lib._has_chunkio = True
+                except AttributeError:
+                    lib._has_chunkio = False
                 _LIB = lib
                 logger.info("Loaded native decoder %s", path)
             except OSError:
@@ -119,3 +140,37 @@ def decode_png_gray_batch(blobs: Sequence[bytes], out_hw,
         return _batch_call("pd_decode_png_gray_batch", blobs, out_hw, 1,
                            num_threads)
     return _cv2_fallback(blobs, out_hw, gray=True)
+
+
+def chunkio_available() -> bool:
+    lib = get_lib()
+    return lib is not None and getattr(lib, "_has_chunkio", False)
+
+
+def read_chunk_members(tar_path) -> Optional[dict]:
+    """Native in-memory read of a chunk archive: one C call inflates the
+    tar/tar.gz and returns ``{member_name: bytes}`` for every regular file —
+    no extraction to disk (native/chunkio.cc). Returns None when the native
+    library is unavailable or cannot parse the archive (e.g. .tar.bz2/.xz),
+    so callers can fall back to the Python ``tarfile`` streaming path."""
+    if not chunkio_available():
+        return None
+    lib = get_lib()
+    handle = lib.pd_chunk_open(str(tar_path).encode())
+    if not handle:
+        logger.warning(
+            "native chunk read failed for %s: %s — falling back",
+            tar_path, lib.pd_chunk_error().decode(errors="replace"),
+        )
+        return None
+    try:
+        members = {}
+        for i in range(lib.pd_chunk_count(handle)):
+            name = lib.pd_chunk_name(handle, i).decode(errors="replace")
+            size = ctypes.c_int64()
+            ptr = lib.pd_chunk_data(handle, i, ctypes.byref(size))
+            members[name] = ctypes.string_at(ptr, size.value) if size.value \
+                else b""
+        return members
+    finally:
+        lib.pd_chunk_close(handle)

@@ -30,9 +30,8 @@ from pose3d_tpu.data.chunks import (
     chunk_id_from_filename,
     count_chunk_samples,
     decode_chunk_samples,
-    extract_chunk,
     list_chunk_files,
-    load_chunk_samples,
+    open_chunk_store,
 )
 from pose3d_tpu.data.collate import collate_fixed
 
@@ -56,6 +55,7 @@ class ChunkPrefetcher:
         decode_group: int = 64,
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
+        chunk_io: str = "auto",
     ):
         self.chunk_files = [Path(f) for f in chunk_files]
         self.cache_dir = Path(cache_dir)
@@ -80,6 +80,11 @@ class ChunkPrefetcher:
         # shuffle RNG is advanced by an equivalent shuffle of [0..n) so the
         # ordering of every subsequent chunk matches the original epoch.
         self.skip_samples = int(skip_samples)
+        # "stream" reads each archive straight into memory (native
+        # chunkio.cc / tarfile streaming — no extract-to-disk); "extract"
+        # is the reference's cache-dir extraction; "auto" streams but
+        # reuses an existing extracted copy (chunks.open_chunk_store).
+        self.chunk_io = chunk_io
 
         # queue holds decoded GROUPS; scale capacity accordingly
         self.chunk_queue: "queue.Queue" = queue.Queue(
@@ -121,8 +126,10 @@ class ChunkPrefetcher:
                             "(%d samples, %d remaining)", chunk_id, n, skip,
                         )
                         continue
-                chunk_dir = extract_chunk(chunk_file, self.cache_dir)
-                samples = load_chunk_samples(chunk_dir)
+                store = open_chunk_store(
+                    chunk_file, self.cache_dir, mode=self.chunk_io
+                )
+                samples = list(store.samples)
                 if self.shuffle_seed is not None:
                     rng.shuffle(samples)
                 if skip > 0:
@@ -138,7 +145,7 @@ class ChunkPrefetcher:
                     if self.stop_event.is_set():
                         return
                     decoded = decode_chunk_samples(
-                        samples[lo : lo + g], chunk_dir, self.image_size,
+                        samples[lo : lo + g], store, self.image_size,
                         num_threads=self.decode_workers,
                         root_relative=self.root_relative,
                     )
@@ -205,6 +212,7 @@ class StreamingChunkedDataset:
         num_shards: int = 1,
         decode_workers: int = 8,
         root_relative: bool = True,
+        chunk_io: str = "auto",
     ):
         self.image_size = tuple(image_size)
         self.shuffle = shuffle
@@ -241,6 +249,7 @@ class StreamingChunkedDataset:
         self.max_chunks_in_memory = max_chunks_in_memory
         self.decode_workers = decode_workers
         self.root_relative = root_relative
+        self.chunk_io = chunk_io
         self._epoch = 0
         self.current_epoch = 0
         self.current_epoch_base = 0
@@ -292,6 +301,7 @@ class StreamingChunkedDataset:
             # before grouped decode (sub-chunk pipelining)
             shuffle_seed=rng.randrange(2**31) if self.shuffle else None,
             skip_samples=skip,
+            chunk_io=self.chunk_io,
         )
         try:
             while True:

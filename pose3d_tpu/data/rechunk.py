@@ -17,10 +17,22 @@ Capability parity:
 Deliberate fix: output chunk names use six-digit indices so the streaming
 loader's index filter works (the reference rechunker's 4-digit names never
 match, SURVEY.md §2 quirk).
+
+Round 3: both tools repack straight from chunk *stores* (data/chunks.py) —
+archives are written member-by-member from memory, with no staging copies;
+the splitter additionally STREAMS each input archive (native chunkio /
+tarfile) instead of extracting it, so the 285-GB split flow costs one
+sequential read per input chunk and one sequential write per output chunk
+(the reference extracts everything to per-sample UUID cache dirs,
+dataset_split.py:285-312). The shuffler keeps disk extraction on purpose:
+a global shuffle needs random access to every source sample at repack
+time, which is exactly what a disk cache is for — holding all archives in
+memory instead would cost the whole dataset in RAM.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import logging
 import pickle
@@ -33,34 +45,66 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from pose3d_tpu.data.chunks import _as_store, open_chunk_store
+
 logger = logging.getLogger("pose3d_tpu.rechunk")
 
 
 # -- sample validation (reference dataset_rechunker.py:89-143,
 #    dataset_split.py:270-283) ---------------------------------------------
 
-def validate_sample(sample: Dict, chunk_dir: Path,
+def validate_sample(sample: Dict, chunk_src,
                     require_depth: bool = False) -> Optional[str]:
-    """Return None when valid, else a reason string."""
+    """Return None when valid, else a reason string. ``chunk_src`` is an
+    extracted chunk dir or any chunk store."""
+    store = _as_store(chunk_src)
     img = sample.get("image_file")
     if not img:
         return "missing image_file key"
-    img_path = chunk_dir / img
-    if not img_path.is_file():
+    img_size = store.stat_member(img)
+    if img_size is None:
         return f"image missing: {img}"
-    if img_path.stat().st_size == 0:
+    if img_size == 0:
         return f"image zero bytes: {img}"
     meta = sample.get("metadata_file")
-    if not meta or not (chunk_dir / meta).is_file():
+    if not meta or store.stat_member(meta) is None:
         return f"metadata missing: {meta}"
     depth = sample.get("depth_file")
     if depth:
-        dp = chunk_dir / depth
-        if not dp.is_file() or dp.stat().st_size == 0:
+        dsize = store.stat_member(depth)
+        if dsize is None or dsize == 0:
             return f"depth missing/empty: {depth}"
     elif require_depth:
         return "no depth_file"
     return None
+
+
+class SampleBlobStore:
+    """A single sample's members materialized in memory — lets the
+    splitter free each input archive as soon as it has been routed, so
+    pending-sample memory is bounded by the samples themselves, not by
+    the archives they came from."""
+
+    def __init__(self, blobs: Dict[str, bytes]):
+        self._blobs = blobs
+
+    @classmethod
+    def capture(cls, sample: Dict, store) -> "SampleBlobStore":
+        blobs = {}
+        for key in ("image_file", "depth_file", "metadata_file"):
+            rel = sample.get(key)
+            if rel:
+                blob = store.read_member(rel)
+                if blob is not None:
+                    blobs[str(rel)] = blob
+        return cls(blobs)
+
+    def read_member(self, relpath) -> Optional[bytes]:
+        return self._blobs.get(str(relpath))
+
+    def stat_member(self, relpath) -> Optional[int]:
+        blob = self._blobs.get(str(relpath))
+        return None if blob is None else len(blob)
 
 
 def _extract(tar_path: Path, dest: Path) -> Path:
@@ -78,37 +122,52 @@ def _extract(tar_path: Path, dest: Path) -> Path:
     raise FileNotFoundError(f"samples.pkl not found under {dest}")
 
 
-def _pack_chunk(samples_with_dirs: Sequence[Tuple[Dict, Path]],
+def _pack_chunk(samples_with_src: Sequence[Tuple[Dict, object]],
                 out_path: Path, chunk_dirname: str, compression: str):
-    """Copy samples' files into a fresh chunk layout and tar it."""
-    with tempfile.TemporaryDirectory(prefix="repack_") as td:
-        chunk_dir = Path(td) / chunk_dirname
-        data_dir = chunk_dir / "data"
-        data_dir.mkdir(parents=True)
-        packed = []
-        for j, (sample, src_dir) in enumerate(samples_with_dirs):
-            sdir = data_dir / f"{j:06d}"
-            sdir.mkdir()
-            out = dict(sample)
-            for key, default_name in (
-                ("image_file", None),
-                ("depth_file", "depth.png"),
-                ("metadata_file", "metadata.json"),
-            ):
-                rel = sample.get(key)
-                if not rel:
-                    continue
-                src = src_dir / rel
-                name = default_name or f"image{Path(rel).suffix or '.jpg'}"
-                shutil.copyfile(src, sdir / name)
-                out[key] = f"data/{j:06d}/{name}"
-            packed.append(out)
-        with open(chunk_dir / "samples.pkl", "wb") as f:
-            pickle.dump(packed, f)
-        mode = f"w:{compression}" if compression != "tar" else "w"
-        out_path.parent.mkdir(parents=True, exist_ok=True)
-        with tarfile.open(out_path, mode) as tar:
-            tar.add(chunk_dir, arcname=chunk_dirname)
+    """Write a fresh chunk archive member-by-member straight from each
+    sample's source (extracted dir or in-memory store) — no staging
+    copies, one sequential write. ``samples.pkl`` is written FIRST so
+    streaming readers (count_chunk_samples) find it without inflating
+    the whole archive (the reference's tar.add of a directory placed it
+    after ``data/``)."""
+    mode = f"w:{compression}" if compression != "tar" else "w"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    # Pass 1 (metadata only): rewrite member paths for the new layout.
+    packed = []
+    blobs_to_write: List[Tuple[object, str, str]] = []  # (src, old, new)
+    for j, (sample, src) in enumerate(samples_with_src):
+        out = dict(sample)
+        for key, default_name in (
+            ("image_file", None),
+            ("depth_file", "depth.png"),
+            ("metadata_file", "metadata.json"),
+        ):
+            rel = sample.get(key)
+            if not rel:
+                continue
+            name = default_name or f"image{Path(rel).suffix or '.jpg'}"
+            new_rel = f"data/{j:06d}/{name}"
+            blobs_to_write.append((src, str(rel), new_rel))
+            out[key] = new_rel
+        packed.append(out)
+
+    def add_bytes(tar, name: str, data: bytes):
+        info = tarfile.TarInfo(f"{chunk_dirname}/{name}")
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    # Pass 2: stream members into the archive (one blob in memory at a
+    # time — sources are read lazily, never copied to a staging dir).
+    with tarfile.open(out_path, mode) as tar:
+        add_bytes(tar, "samples.pkl", pickle.dumps(packed))
+        for src, old_rel, new_rel in blobs_to_write:
+            blob = _as_store(src).read_member(old_rel)
+            if blob is None:
+                raise FileNotFoundError(
+                    f"member {old_rel} vanished while packing {out_path}"
+                )
+            add_bytes(tar, new_rel, blob)
 
 
 class DatasetShuffler:
@@ -206,7 +265,18 @@ class DatasetShuffler:
 
 class DatasetSplitter:
     """Subject-routed train/test split + rechunk
-    (reference dataset_split.py:107-415), resumable per input chunk."""
+    (reference dataset_split.py:107-415), crash-resumable.
+
+    Resume model (stronger than the reference's pending-pickle caches):
+    routing is a pure function of each sample, and input chunks are
+    processed in sorted order, so a crashed run can be replayed
+    deterministically. The state file records, per input chunk, how many
+    of its routed samples have already been written to output archives
+    (``flushed``); an input chunk only graduates to ``chunks_done`` once
+    ALL its routed samples are flushed. On resume, non-done chunks are
+    re-streamed and their first ``flushed`` routed samples per split are
+    skipped — rebuilding the exact pending lists without any staging
+    copies on disk."""
 
     STATE_FILE = "split_state.json"
 
@@ -238,7 +308,13 @@ class DatasetSplitter:
         self.resume = resume
         self.issues: List[str] = []
 
-        self.state = {"chunks_done": [], "counters": {"train": 0, "test": 0}}
+        self.state = {
+            "chunks_done": [],
+            "counters": {"train": 0, "test": 0},
+            # per in-progress input chunk: routed samples already flushed
+            # to output archives, per split (consumed on replay)
+            "flushed": {},
+        }
         sp = self.staging / self.STATE_FILE
         if resume and sp.exists():
             try:
@@ -246,10 +322,14 @@ class DatasetSplitter:
                     self.state.update(json.load(f))
             except Exception:
                 logger.exception("Corrupt split state; starting fresh")
-        # pending samples (list of (sample, chunk_dir)) per split
-        self.pending: Dict[str, List[Tuple[Dict, Path]]] = {
+        # pending samples per split: (sample, blob store, input chunk name)
+        self.pending: Dict[str, List[Tuple[Dict, SampleBlobStore, str]]] = {
             "train": [], "test": [],
         }
+        # input chunks fully routed this run, and their not-yet-flushed
+        # pending count — a chunk graduates to chunks_done at 0
+        self._outstanding: Dict[str, int] = {}
+        self._processed: set = set()
 
     def _save_state(self):
         with open(self.staging / self.STATE_FILE, "w") as f:
@@ -276,30 +356,66 @@ class DatasetSplitter:
             idx = self.state["counters"][split]
             name = f"{split}_dataset_chunk_{idx:06d}.tar.{self.compression}"
             out = self.output_dir / split / name
-            _pack_chunk(part, out, f"chunk_{idx:06d}", self.compression)
+            _pack_chunk(
+                [(s, store) for s, store, _ in part], out,
+                f"chunk_{idx:06d}", self.compression,
+            )
             self.state["counters"][split] += 1
+            # Crash-resume bookkeeping: these samples are now durable in
+            # the output archive — credit their source chunks, and
+            # graduate any fully-flushed processed chunk.
+            for _, _, src_name in part:
+                fl = self.state["flushed"].setdefault(
+                    src_name, {"train": 0, "test": 0}
+                )
+                fl[split] += 1
+                self._outstanding[src_name] = (
+                    self._outstanding.get(src_name, 0) - 1
+                )
+            for src_name in {p[2] for p in part}:
+                self._maybe_done(src_name)
             self._save_state()
             logger.info("Wrote %s (%d samples)", out, len(part))
             if final and len(self.pending[split]) < self.new_chunk_size:
                 if not self.pending[split]:
                     break
 
+    def _maybe_done(self, chunk_name: str):
+        if (
+            chunk_name in self._processed
+            and self._outstanding.get(chunk_name, 0) <= 0
+            and chunk_name not in self.state["chunks_done"]
+        ):
+            self.state["chunks_done"].append(chunk_name)
+            self.state["flushed"].pop(chunk_name, None)
+
     def run(self) -> Dict[str, int]:
         tars = sorted(self.input_dir.glob("*.tar.*"))
-        extract_root = self.staging / "extract"
         for tar_path in tars:
             if tar_path.name in self.state["chunks_done"]:
                 continue
-            dest = extract_root / tar_path.name.split(".tar")[0]
+            # One sequential in-memory read per input archive (native
+            # chunkio / tarfile streaming) — no extraction. Each routed
+            # sample's members are captured into a per-sample blob store
+            # so the archive is freed as soon as routing finishes:
+            # pending memory is bounded by pending SAMPLES, not by the
+            # archives they came from.
             try:
-                chunk_dir = _extract(tar_path, dest)
-                with open(chunk_dir / "samples.pkl", "rb") as f:
-                    samples = pickle.load(f)
+                store = open_chunk_store(tar_path, mode="stream")
+                samples = store.samples
             except Exception as e:
                 self.issues.append(f"{tar_path.name}: unreadable ({e})")
                 continue
+            # Deterministic replay after a crash: the first `flushed`
+            # routed samples per split are already in output archives.
+            skip = dict(
+                self.state["flushed"].get(
+                    tar_path.name, {"train": 0, "test": 0}
+                )
+            )
+            outstanding = 0
             for s in samples:
-                reason = validate_sample(s, chunk_dir)
+                reason = validate_sample(s, store)
                 if reason is not None:
                     self.issues.append(f"{tar_path.name}: {reason}")
                     continue
@@ -310,15 +426,25 @@ class DatasetSplitter:
                         f"{s.get(self.subject_key)}"
                     )
                     continue
-                self.pending[split].append((s, chunk_dir))
+                if skip.get(split, 0) > 0:
+                    skip[split] -= 1
+                    continue
+                self.pending[split].append(
+                    (s, SampleBlobStore.capture(s, store), tar_path.name)
+                )
+                outstanding += 1
+            del store
+            self._outstanding[tar_path.name] = (
+                self._outstanding.get(tar_path.name, 0) + outstanding
+            )
+            self._processed.add(tar_path.name)
+            self._maybe_done(tar_path.name)
+            self._save_state()
             for split in ("train", "test"):
                 self._flush(split)
-            self.state["chunks_done"].append(tar_path.name)
-            self._save_state()
         for split in ("train", "test"):
             self._flush(split, final=True)
         self._write_issues_report()
-        shutil.rmtree(extract_root, ignore_errors=True)
         return dict(self.state["counters"])
 
     def _write_issues_report(self):

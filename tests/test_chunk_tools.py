@@ -205,6 +205,76 @@ def test_splitter_resume_skips_done(raw_and_chunks, tmp_path):
     assert c2 == c1  # nothing re-processed, counters unchanged
 
 
+def test_splitter_crash_resume_exact(raw_and_chunks, tmp_path):
+    """Kill the splitter mid-flush (pending samples routed but unflushed,
+    an output archive half-written) and resume: the deterministic-replay
+    resume must reproduce BIT-IDENTICAL sample routing to a never-crashed
+    control run (round-3 streaming splitter; stronger than the
+    reference's pending-pickle caches, dataset_split.py:158-203)."""
+    from pose3d_tpu.data import rechunk
+    from pose3d_tpu.data.chunks import open_chunk_store
+
+    _, out = raw_and_chunks
+
+    def collect(split_out):
+        got = {}
+        for split in ("train", "test"):
+            for tar in sorted((split_out / split).glob("*.tar.*")):
+                store = open_chunk_store(tar, mode="stream")
+                got[f"{split}/{tar.name}"] = [
+                    (s["subject"], s["frame_idx"],
+                     store.read_member(s["image_file"]))
+                    for s in store.samples
+                ]
+        return got
+
+    kw = dict(input_dir=out, train_subjects=[1], test_subjects=[5],
+              new_chunk_size=4)
+    ctrl_out = tmp_path / "ctrl"
+    DatasetSplitter(output_dir=ctrl_out, staging_dir=tmp_path / "ctrl_st",
+                    **kw).run()
+
+    crash_out = tmp_path / "crash"
+    staging = tmp_path / "crash_st"
+    orig_pack, calls = rechunk._pack_chunk, {"n": 0}
+
+    def flaky_pack(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-flush")
+        return orig_pack(*a, **k)
+
+    rechunk._pack_chunk = flaky_pack
+    try:
+        with pytest.raises(RuntimeError):
+            DatasetSplitter(output_dir=crash_out, staging_dir=staging,
+                            **kw).run()
+    finally:
+        rechunk._pack_chunk = orig_pack
+
+    counters = DatasetSplitter(output_dir=crash_out, staging_dir=staging,
+                               resume=True, **kw).run()
+    assert counters == {"train": 2, "test": 2}
+    assert collect(crash_out) == collect(ctrl_out)
+
+
+def test_pack_chunk_writes_samples_pkl_first(raw_and_chunks, tmp_path):
+    """Repacked archives lead with samples.pkl so streaming readers
+    (count_chunk_samples during resume fast-forward) stop after one
+    member instead of inflating the whole archive."""
+    from pose3d_tpu.data.chunks import count_chunk_samples
+
+    _, out = raw_and_chunks
+    shuf_out = tmp_path / "shuf_first"
+    DatasetShuffler(input_dir=out, output_dir=shuf_out, chunk_size=4,
+                    num_workers=2, seed=7).run()
+    tar0 = sorted(shuf_out.glob("*.tar.gz"))[0]
+    with tarfile.open(tar0, "r:*") as tar:
+        first = next(iter(tar))
+        assert first.name.endswith("samples.pkl")
+    assert count_chunk_samples(tar0) == 4
+
+
 def test_extract_recovers_from_stale_partial_dir(raw_and_chunks, tmp_path):
     """A partial chunk dir without samples.pkl (killed run of the old
     in-place extractor) must be replaced, not poison the cache forever

@@ -81,9 +81,12 @@ def test_skip_matches_stream_tail(chunks, tmp_path, skip):
 
 def test_skipped_chunks_not_extracted(chunks, tmp_path):
     """A fully skipped chunk must never be extracted or decoded — only its
-    samples.pkl is read (streamed from the tar)."""
+    samples.pkl is read (streamed from the tar). Run with
+    chunk_io="extract" so extraction itself is the observable (the
+    default "auto" mode streams and extracts nothing at all)."""
     cache = tmp_path / "cache"
-    ds = _make_ds(chunks, cache, shuffle=False, shuffle_chunks=False)
+    ds = _make_ds(chunks, cache, shuffle=False, shuffle_chunks=False,
+                  chunk_io="extract")
     ds.skip_next_samples(8)  # exactly the first chunk
     out = _ids(list(ds))
     assert out.shape[0] == 16  # chunks 1 and 2
@@ -91,6 +94,13 @@ def test_skipped_chunks_not_extracted(chunks, tmp_path):
     assert not (shard / "chunk_000000").exists()
     assert (shard / "chunk_000001" / "samples.pkl").exists()
     assert (shard / "chunk_000002" / "samples.pkl").exists()
+
+    # and in the default streaming mode the cache stays empty entirely
+    cache2 = tmp_path / "cache_stream"
+    ds2 = _make_ds(chunks, cache2, shuffle=False, shuffle_chunks=False)
+    ds2.skip_next_samples(8)
+    assert _ids(list(ds2)).shape[0] == 16
+    assert list((cache2 / "train" / "shard_0").rglob("samples.pkl")) == []
 
 
 def test_count_chunk_samples(chunks, tmp_path):
