@@ -25,6 +25,7 @@ chunked_dataset.py:453).
 
 from __future__ import annotations
 
+import io
 import json
 import logging
 import pickle
@@ -253,27 +254,28 @@ class Human36MChunker:
                 continue
         return max(indices) + 1 if indices else 0
 
-    def _pack_sample(self, sample: Dict, sample_dir: Path) -> Dict:
-        """Copy the sample's files into the chunk dir and rewrite its paths
-        chunk-relative (reference _process_sample, :829-896)."""
-        sample_dir.mkdir(parents=True, exist_ok=True)
+    def _pack_sample(self, sample: Dict, rel: str):
+        """Plan one sample's archive members: rewrite its paths
+        chunk-relative and list (source file, chunk-relative name) pairs
+        to stream into the tar — the reference copies every file into a
+        staging chunk dir first (_process_sample, :829-896); here sources
+        are added straight from their original locations, removing one
+        full write+read of the dataset."""
         out = dict(sample)
-        rel = sample_dir.name
+        adds = []
         if self.include_images:
             src = Path(sample["image_file"])
-            dst = sample_dir / f"image{src.suffix or '.jpg'}"
-            shutil.copyfile(src, dst)
-            out["image_file"] = f"data/{rel}/{dst.name}"
+            name = f"image{src.suffix or '.jpg'}"
+            out["image_file"] = f"data/{rel}/{name}"
+            adds.append((src, out["image_file"]))
         if self.include_depth:
             src = Path(sample["depth_file"])
-            dst = sample_dir / "depth.png"
-            shutil.copyfile(src, dst)
             out["depth_file"] = f"data/{rel}/depth.png"
+            adds.append((src, out["depth_file"]))
         if self.include_metadata:
             src = Path(sample["metadata_file"])
-            dst = sample_dir / "metadata.json"
-            shutil.copyfile(src, dst)
             out["metadata_file"] = f"data/{rel}/metadata.json"
+            adds.append((src, out["metadata_file"]))
             try:
                 with open(src) as f:
                     meta = json.load(f)
@@ -282,7 +284,7 @@ class Human36MChunker:
                         out[k] = meta[k]
             except Exception:
                 logger.exception("Unreadable metadata %s", src)
-        return out
+        return out, adds
 
     def _create_chunks(self):
         start_idx = self._next_chunk_index()
@@ -306,27 +308,33 @@ class Human36MChunker:
                 i * self.chunk_size : (i + 1) * self.chunk_size
             ]
             chunk_dirname = f"chunk_{chunk_idx:06d}"
-            chunk_dir = self.temp_dir / chunk_dirname
-            data_dir = chunk_dir / "data"
-            data_dir.mkdir(parents=True, exist_ok=True)
 
-            packed = []
+            # Plan members (path rewrite + metadata merge), then stream
+            # sources straight into the archive — no staging copies.
+            # samples.pkl goes FIRST so streaming readers
+            # (count_chunk_samples) stop after one member.
+            packed, adds = [], []
             for j, sample in enumerate(chunk_samples):
-                packed.append(
-                    self._pack_sample(sample, data_dir / f"{j:06d}")
-                )
+                out, sample_adds = self._pack_sample(sample, f"{j:06d}")
+                packed.append(out)
+                adds.extend(sample_adds)
                 if j % 100 == 0:
                     self._check_pause()
-            with open(chunk_dir / "samples.pkl", "wb") as f:
-                pickle.dump(packed, f)
 
             archive = self.temp_dir / chunk_filename
             mode = (
                 f"w:{self.compression}" if self.compression != "tar" else "w"
             )
             with tarfile.open(archive, mode) as tar:
-                tar.add(chunk_dir, arcname=chunk_dirname)
-            shutil.rmtree(chunk_dir)
+                blob = pickle.dumps(packed)
+                info = tarfile.TarInfo(f"{chunk_dirname}/samples.pkl")
+                info.size = len(blob)
+                tar.addfile(info, io.BytesIO(blob))
+                for k, (src, rel) in enumerate(adds):
+                    tar.add(src, arcname=f"{chunk_dirname}/{rel}",
+                            recursive=False)
+                    if k % 300 == 0:
+                        self._check_pause()
 
             self.state["chunks_created"].append(chunk_filename)
             self._save_state()

@@ -259,20 +259,24 @@ def test_splitter_crash_resume_exact(raw_and_chunks, tmp_path):
 
 
 def test_pack_chunk_writes_samples_pkl_first(raw_and_chunks, tmp_path):
-    """Repacked archives lead with samples.pkl so streaming readers
-    (count_chunk_samples during resume fast-forward) stop after one
-    member instead of inflating the whole archive."""
+    """Archives written by the chunker AND the repackers lead with
+    samples.pkl so streaming readers (count_chunk_samples during resume
+    fast-forward) stop after one member instead of inflating the whole
+    archive."""
     from pose3d_tpu.data.chunks import count_chunk_samples
 
     _, out = raw_and_chunks
     shuf_out = tmp_path / "shuf_first"
     DatasetShuffler(input_dir=out, output_dir=shuf_out, chunk_size=4,
                     num_workers=2, seed=7).run()
-    tar0 = sorted(shuf_out.glob("*.tar.gz"))[0]
-    with tarfile.open(tar0, "r:*") as tar:
-        first = next(iter(tar))
-        assert first.name.endswith("samples.pkl")
-    assert count_chunk_samples(tar0) == 4
+    for tar0, n in [
+        (sorted(shuf_out.glob("*.tar.gz"))[0], 4),      # repacker
+        (sorted(out.glob("*.tar.gz"))[0], 5),           # chunker
+    ]:
+        with tarfile.open(tar0, "r:*") as tar:
+            first = next(iter(tar))
+            assert first.name.endswith("samples.pkl"), tar0
+        assert count_chunk_samples(tar0) == n
 
 
 def test_extract_recovers_from_stale_partial_dir(raw_and_chunks, tmp_path):
