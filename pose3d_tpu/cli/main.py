@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Trace output dir (default: the run's TensorBoard "
                         "dir, or {checkpoint_prefix}_profile without TB)")
+    p.add_argument("--memory-report", action="store_true",
+                   help="Log XLA's compiled-program memory accounting "
+                        "(argument/output/temp bytes) for the train step "
+                        "before the first optimizer step")
     p.add_argument("--model-type", type=str,
                    choices=["cnn", "transformer"],
                    help="Model type: 'cnn' or 'transformer'")
@@ -446,6 +450,7 @@ def main(argv=None):
         data_state=data_state,
         stop_event=stop_event,
         keep_checkpoints=args.keep_checkpoints,
+        memory_report=args.memory_report,
         ema_decay=args.ema_decay,
         lr_schedule=lr_or_schedule if callable(lr_or_schedule) else None,
         profile=(

@@ -196,6 +196,7 @@ def train_model(
     profile: Optional[tuple] = None,
     ema_decay: Optional[float] = None,
     lr_schedule=None,
+    memory_report: bool = False,
 ):
     """Train ``state`` over ``train_loader``; returns (state, global_step).
 
@@ -384,6 +385,24 @@ def train_model(
                     jax.profiler.start_trace(prof["dir"])
                     prof["active"] = True
                 step_rng = jax.random.fold_in(rng, global_step)
+                if memory_report:
+                    # One AOT lowering at the real shapes BEFORE the first
+                    # step: XLA's own argument/output/temp accounting —
+                    # says whether the config fits in HBM without waiting
+                    # for a compile-and-OOM. Shares the jit cache, so the
+                    # step call below is a cache hit, not a recompile.
+                    from pose3d_tpu.utils.profiling import (
+                        format_memory_report,
+                        memory_report as _memory_report,
+                    )
+
+                    logger.info(
+                        "Train-step memory analysis: %s",
+                        format_memory_report(_memory_report(
+                            train_step, state, superbatch, step_rng
+                        )),
+                    )
+                    memory_report = False
                 state, metrics = train_step(state, superbatch, step_rng)
                 global_step += 1
                 if prof and prof["active"] and global_step >= prof["until"]:

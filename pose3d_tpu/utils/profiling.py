@@ -86,3 +86,56 @@ class StepTimer:
             "Perf/step_time_ms": self.ema_s * 1e3,
             "Perf/images_per_sec": batch_size / self.ema_s,
         }
+
+
+def memory_report(jit_fn, *example_args, **example_kwargs) -> Dict[str, float]:
+    """Compiled-program memory analysis of a jitted function at the given
+    (abstract) arguments: argument/output/temp/code sizes in bytes from
+    XLA's own accounting (``Compiled.memory_analysis()``). ``temp`` is the
+    peak scratch the program needs on top of its inputs and outputs — the
+    number that says whether a config will fit in HBM *before* a 40 s
+    compile-and-OOM round-trip.
+
+    AOT lowering shares the persistent compile cache with the ordinary
+    jit path, so calling this before training costs one cache hit, not a
+    second compile. Returns {} when the backend doesn't expose the
+    analysis (some plugin backends)."""
+    try:
+        compiled = jit_fn.lower(*example_args, **example_kwargs).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return {}
+        out = {}
+        for key, attr in (
+            ("argument_bytes", "argument_size_in_bytes"),
+            ("output_bytes", "output_size_in_bytes"),
+            ("temp_bytes", "temp_size_in_bytes"),
+            ("alias_bytes", "alias_size_in_bytes"),
+            ("code_bytes", "generated_code_size_in_bytes"),
+        ):
+            v = getattr(ma, attr, None)
+            if v is not None:
+                out[key] = float(v)
+        if {"argument_bytes", "output_bytes", "temp_bytes"} <= out.keys():
+            # donated inputs alias outputs — don't double count
+            out["peak_bytes_estimate"] = (
+                out["argument_bytes"] + out["output_bytes"]
+                + out["temp_bytes"] - out.get("alias_bytes", 0.0)
+            )
+        return out
+    except Exception:  # backend without AOT memory analysis
+        return {}
+
+
+def format_memory_report(report: Dict[str, float]) -> str:
+    if not report:
+        return "memory analysis unavailable on this backend"
+
+    def fmt(v: float) -> str:
+        return f"{v / 1e9:.3f} GB" if v >= 1e8 else f"{v / 1e6:.1f} MB"
+
+    return ", ".join(
+        f"{k.replace('_bytes', '')}={fmt(report[k])}"
+        for k in ("argument_bytes", "output_bytes", "temp_bytes",
+                  "alias_bytes", "peak_bytes_estimate") if k in report
+    )

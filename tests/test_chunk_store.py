@@ -170,6 +170,28 @@ def test_missing_samples_pkl_raises(tmp_path):
         open_chunk_store(path, mode="stream")
 
 
+def test_pipeline_skips_corrupt_archive(tmp_path):
+    """A corrupt archive in the dataset dir must be logged and skipped by
+    the streaming prefetcher — the remaining chunks still stream (the
+    reference's per-sample skip-on-error ethos at chunk granularity,
+    chunked_dataset.py:234-244)."""
+    from pose3d_tpu.data import StreamingChunkedDataset
+
+    root = tmp_path / "ds"
+    make_synthetic_chunk(root, 0, num_samples=4, image_hw=(40, 50),
+                         prefix="train")
+    make_synthetic_chunk(root, 2, num_samples=4, image_hw=(40, 50),
+                         prefix="train")
+    (root / "train" / "dataset_chunk_000001.tar.gz").write_bytes(
+        b"\x1f\x8bnot really gzip data"
+    )
+    ds = StreamingChunkedDataset(
+        "train", root, image_size=(32, 32), cache_dir=tmp_path / "c",
+        shuffle=False, shuffle_chunks=False, chunk_io="stream",
+    )
+    assert len(list(ds)) == 8  # chunks 0 and 2 survive
+
+
 def test_pipeline_stream_equals_extract(tmp_path):
     from pose3d_tpu.data import StreamingChunkedDataset
 

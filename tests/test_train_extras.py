@@ -450,3 +450,37 @@ def test_profile_window_writes_trace(tmp_path):
     )
     traces = list(prof_dir.glob("plugins/profile/*/*.xplane.pb"))
     assert traces, f"no xplane trace under {prof_dir}"
+
+
+def test_memory_report_on_train_step():
+    """--memory-report: AOT memory accounting of the real train step, at
+    the real argument shapes, without executing it."""
+    from pose3d_tpu.utils.profiling import format_memory_report, memory_report
+
+    cfg = CNNModelConfig(
+        image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+        stage_channels=(8, 16, 32), stage_depths=(1, 1, 1),
+        initial_channels=8, global_pool_size=2, global_feature_dim=16,
+        regression_dims=(16,),
+    )
+    model, variables = init_model(cfg, batch_size=2)
+    state = create_train_state(model, variables)
+    step = make_train_step(model)  # donating — lowering must not execute
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(size=(2, 2, 32, 32, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 8, size=(2, 2, 32, 32, 1)).astype(np.float32),
+        "keypoints_2d": rng.uniform(0.1, 0.9, size=(2, 2, 17, 2)).astype(
+            np.float32),
+        "joints_3d": (rng.normal(size=(2, 2, 17, 3)) * 100).astype(
+            np.float32),
+    }
+    rep = memory_report(step, state, batch, jax.random.PRNGKey(0))
+    assert rep, "memory analysis should be available on CPU"
+    assert rep["argument_bytes"] > 0 and rep["temp_bytes"] > 0
+    assert "peak_bytes_estimate" in rep
+    text = format_memory_report(rep)
+    assert "argument=" in text and "peak_estimate=" in text
+    # the donated state was NOT consumed: the real step still runs
+    out_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert int(jax.device_get(out_state.step)) == 1
