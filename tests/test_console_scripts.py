@@ -67,3 +67,20 @@ def test_cli_wrappers_return_success_status(tmp_path):
                        "--output", str(tmp_path / "art"),
                        "--batch-size", "1"]) == 0
     del jax  # imported for device warmup ordering only
+
+
+def test_doctor_report(tmp_path):
+    """pose3d-doctor produces a complete report and exits 0 (probes off:
+    they compile device programs and belong to manual runs)."""
+    import json
+
+    from pose3d_tpu.cli import doctor
+
+    out = tmp_path / "doctor.json"
+    rep = doctor.main(["--json", str(out)])
+    assert rep["versions"]["jax"] != "NOT INSTALLED"
+    assert rep["devices"]["device_count"] >= 1
+    assert isinstance(rep["native"]["decoder_available"], bool)
+    assert "console_scripts_missing" in rep["install"]
+    assert json.loads(out.read_text())["versions"]["python"]
+    assert doctor.cli([]) == 0
