@@ -104,69 +104,106 @@ class ChunkPrefetcher:
         return False
 
     def _worker(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = random.Random(self.shuffle_seed)
         skip = self.skip_samples
-        for chunk_file in self.chunk_files:
-            if self.stop_event.is_set():
-                return
-            try:
-                chunk_id = chunk_id_from_filename(chunk_file)
-                if skip > 0:
-                    # Whole-chunk fast-forward without extraction/decode.
-                    n = count_chunk_samples(chunk_file, self.cache_dir)
-                    if skip >= n:
-                        if self.shuffle_seed is not None:
-                            # random.shuffle draws depend only on len():
-                            # advancing on an index list reproduces the
-                            # exact RNG state of shuffling the real list.
-                            rng.shuffle(list(range(n)))
-                        skip -= n
-                        logger.info(
-                            "resume fast-forward: skipped chunk %d "
-                            "(%d samples, %d remaining)", chunk_id, n, skip,
+        files = list(self.chunk_files)
+        # 1-deep archive read-ahead: while chunk i's samples decode, a
+        # side thread already inflates chunk i+1's archive (zlib / the
+        # native chunkio call both release the GIL, so this genuinely
+        # overlaps with the decode pool). Read-ahead only begins once the
+        # resume fast-forward is resolved — a chunk that will be skipped
+        # must never be inflated; any remaining skip always exhausts
+        # within the chunk being consumed, so its successor is safe.
+        io_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="chunkio_readahead"
+        )
+        pending: Dict[int, object] = {}
+
+        def _submit(idx: int):
+            if 0 <= idx < len(files) and idx not in pending:
+                pending[idx] = io_pool.submit(
+                    open_chunk_store, files[idx], self.cache_dir,
+                    mode=self.chunk_io,
+                )
+
+        try:
+            for i, chunk_file in enumerate(files):
+                if self.stop_event.is_set():
+                    return
+                try:
+                    chunk_id = chunk_id_from_filename(chunk_file)
+                    if skip > 0:
+                        # Whole-chunk fast-forward without extract/decode.
+                        n = count_chunk_samples(chunk_file, self.cache_dir)
+                        if skip >= n:
+                            if self.shuffle_seed is not None:
+                                # random.shuffle draws depend only on
+                                # len(): advancing on an index list
+                                # reproduces the exact RNG state of
+                                # shuffling the real list.
+                                rng.shuffle(list(range(n)))
+                            skip -= n
+                            logger.info(
+                                "resume fast-forward: skipped chunk %d "
+                                "(%d samples, %d remaining)",
+                                chunk_id, n, skip,
+                            )
+                            continue
+                    fut = pending.pop(i, None)
+                    store = (
+                        fut.result() if fut is not None
+                        else open_chunk_store(
+                            chunk_file, self.cache_dir, mode=self.chunk_io
                         )
-                        continue
-                store = open_chunk_store(
-                    chunk_file, self.cache_dir, mode=self.chunk_io
-                )
-                samples = list(store.samples)
-                if self.shuffle_seed is not None:
-                    rng.shuffle(samples)
-                if skip > 0:
+                    )
+                    _submit(i + 1)  # inflate the next archive while
+                    # this chunk decodes
+                    samples = list(store.samples)
+                    if self.shuffle_seed is not None:
+                        rng.shuffle(samples)
+                    if skip > 0:
+                        logger.info(
+                            "resume fast-forward: skipping %d/%d samples "
+                            "of chunk %d", skip, len(samples), chunk_id,
+                        )
+                        samples = samples[skip:]
+                        skip = 0
+                    n_dec = 0
+                    g = self.decode_group
+                    for lo in range(0, len(samples), g):
+                        if self.stop_event.is_set():
+                            return
+                        decoded = decode_chunk_samples(
+                            samples[lo : lo + g], store, self.image_size,
+                            num_threads=self.decode_workers,
+                            root_relative=self.root_relative,
+                        )
+                        n_dec += len(decoded)
+                        if decoded and not self._put((chunk_id, decoded)):
+                            return
                     logger.info(
-                        "resume fast-forward: skipping %d/%d samples of "
-                        "chunk %d", skip, len(samples), chunk_id,
+                        "chunk %d: decoded %d/%d samples",
+                        chunk_id, n_dec, len(samples),
                     )
-                    samples = samples[skip:]
-                    skip = 0
-                n_dec = 0
-                g = self.decode_group
-                for lo in range(0, len(samples), g):
-                    if self.stop_event.is_set():
-                        return
-                    decoded = decode_chunk_samples(
-                        samples[lo : lo + g], store, self.image_size,
-                        num_threads=self.decode_workers,
-                        root_relative=self.root_relative,
+                except Exception:
+                    logger.exception(
+                        "Error prefetching chunk %s", chunk_file
                     )
-                    n_dec += len(decoded)
-                    if decoded and not self._put((chunk_id, decoded)):
-                        return
-                logger.info(
-                    "chunk %d: decoded %d/%d samples",
-                    chunk_id, n_dec, len(samples),
+                    continue
+            if skip > 0:
+                logger.warning(
+                    "resume fast-forward exhausted the chunk list with %d "
+                    "samples still to skip — the dataset is smaller than "
+                    "when the checkpoint was written; this epoch yields "
+                    "nothing.", skip,
                 )
-            except Exception:
-                logger.exception("Error prefetching chunk %s", chunk_file)
-                continue
-        if skip > 0:
-            logger.warning(
-                "resume fast-forward exhausted the chunk list with %d "
-                "samples still to skip — the dataset is smaller than when "
-                "the checkpoint was written; this epoch yields nothing.",
-                skip,
-            )
-        self._put(None)  # sentinel: no more chunks
+            self._put(None)  # sentinel: no more chunks
+        finally:
+            for fut in pending.values():
+                fut.cancel()
+            io_pool.shutdown(wait=False)
 
     def get_next_chunk(self):
         """Next (chunk_id, samples) or None at end-of-stream / timeout
