@@ -97,6 +97,47 @@ def test_native_reader_pax_longname_and_plain_tar(tmp_path):
 
 @pytest.mark.skipif(not native.chunkio_available(),
                     reason="native chunkio not built")
+def test_native_reader_randomized_parity(tmp_path):
+    """Randomized archives (name lengths around the 100-byte ustar limit,
+    zero-byte and odd-sized members, dirs and symlinks interleaved, both
+    tar and tar.gz): the native reader must return exactly tarfile's view
+    of the regular files."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        gz = trial % 2 == 0
+        path = tmp_path / f"fuzz{trial}.tar{'.gz' if gz else ''}"
+        expected = {}
+        with tarfile.open(path, "w:gz" if gz else "w") as tar:
+            for j in range(int(rng.integers(1, 12))):
+                kind = rng.integers(0, 10)
+                name_len = int(rng.integers(1, 150))
+                name = f"d{trial}/" + "n" * name_len + f"_{j}"
+                if kind == 0:  # directory
+                    d = tarfile.TarInfo(name)
+                    d.type = tarfile.DIRTYPE
+                    tar.addfile(d)
+                elif kind == 1:  # symlink — no payload, must be skipped
+                    s = tarfile.TarInfo(name)
+                    s.type = tarfile.SYMTYPE
+                    s.linkname = "elsewhere"
+                    tar.addfile(s)
+                else:
+                    size = int(rng.integers(0, 10_000))
+                    data = rng.integers(0, 256, size=size,
+                                        dtype=np.uint8).tobytes()
+                    ti = tarfile.TarInfo(name)
+                    ti.size = size
+                    ti.mtime = float(rng.uniform(0, 2e9))  # PAX records
+                    tar.addfile(ti, io.BytesIO(data))
+                    expected[name] = data
+        got = native.read_chunk_members(path)
+        assert got == expected, path
+
+
+@pytest.mark.skipif(not native.chunkio_available(),
+                    reason="native chunkio not built")
 def test_native_reader_rejects_garbage(tmp_path):
     bad = tmp_path / "bad.tar.gz"
     bad.write_bytes(b"this is not an archive")
