@@ -325,7 +325,12 @@ class Human36MChunker:
             mode = (
                 f"w:{self.compression}" if self.compression != "tar" else "w"
             )
-            with tarfile.open(archive, mode) as tar:
+            # dereference=True: datasets linked into place (symlinked
+            # image trees) must be stored as file CONTENT — a SYMTYPE
+            # member has no payload and every chunk reader would drop
+            # the sample (the old staging-copy path dereferenced
+            # implicitly via shutil.copyfile).
+            with tarfile.open(archive, mode, dereference=True) as tar:
                 blob = pickle.dumps(packed)
                 info = tarfile.TarInfo(f"{chunk_dirname}/samples.pkl")
                 info.size = len(blob)

@@ -376,9 +376,6 @@ class DatasetSplitter:
                 self._maybe_done(src_name)
             self._save_state()
             logger.info("Wrote %s (%d samples)", out, len(part))
-            if final and len(self.pending[split]) < self.new_chunk_size:
-                if not self.pending[split]:
-                    break
 
     def _maybe_done(self, chunk_name: str):
         if (
@@ -433,6 +430,15 @@ class DatasetSplitter:
                     (s, SampleBlobStore.capture(s, store), tar_path.name)
                 )
                 outstanding += 1
+                # Flush full output chunks DURING routing so pending
+                # memory stays bounded by new_chunk_size samples (not a
+                # whole input archive's worth of captured blobs). The
+                # deterministic-replay invariant holds: mid-chunk flushes
+                # still consume a prefix of this chunk's routed order,
+                # and _outstanding tolerates the temporary negative
+                # balance until the post-loop credit.
+                if len(self.pending[split]) >= self.new_chunk_size:
+                    self._flush(split)
             del store
             self._outstanding[tar_path.name] = (
                 self._outstanding.get(tar_path.name, 0) + outstanding

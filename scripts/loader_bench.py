@@ -66,7 +66,6 @@ def run(n_samples: int = 128, image_hw=(500, 500), out_size=(500, 500),
             return len(decode_chunk_samples(store.samples, store, out_size))
 
         def stream_python():
-            import pose3d_tpu.data.chunks as chunks_mod
             orig = native.read_chunk_members
             native.read_chunk_members = lambda p: None
             try:
@@ -76,7 +75,6 @@ def run(n_samples: int = 128, image_hw=(500, 500), out_size=(500, 500),
                 )
             finally:
                 native.read_chunk_members = orig
-            del chunks_mod
 
         t_extract = bench("extract", extract_path)
         t_stream = bench("stream", stream_native)

@@ -116,7 +116,7 @@ def main():
     # platform; including them would under-report the step rate)
     half = curve[len(curve) // 2]
     ss_imgs = (curve[-1]["step"] - half["step"]) * 100
-    ss_wall = curve[-1]["wall_s"] - half["wall_s"]
+    ss_wall = max(curve[-1]["wall_s"] - half["wall_s"], 1e-9)
     print(json.dumps({
         "untrained_mpjpe_mm": round(base, 1),
         "final_train_mpjpe_mm": curve[-1]["train_mpjpe_mm"],

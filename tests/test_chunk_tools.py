@@ -205,6 +205,38 @@ def test_splitter_resume_skips_done(raw_and_chunks, tmp_path):
     assert c2 == c1  # nothing re-processed, counters unchanged
 
 
+def test_chunker_dereferences_symlinked_sources(raw_and_chunks, tmp_path):
+    """Datasets linked into place (symlinked image trees) must be stored
+    as file CONTENT in the archives — a SYMTYPE member has no payload and
+    every chunk reader would silently drop the sample (review finding on
+    the streaming tar.add path)."""
+    from pose3d_tpu.data.chunks import decode_chunk_samples, open_chunk_store
+
+    root, _ = raw_and_chunks
+    link_root = tmp_path / "linked"
+    for sub in ("images", "processed", "annotations"):
+        for f in (root / sub).rglob("*"):
+            if f.is_file():
+                dst = link_root / sub / f.relative_to(root / sub)
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                dst.symlink_to(f)
+    out2 = tmp_path / "chunks_sym"
+    Human36MChunker(
+        subject_ids=[1], output_dir=out2,
+        annotations_path=link_root / "annotations",
+        images_path=link_root / "images",
+        processed_path=link_root / "processed",
+        chunk_size=6, compression="gz",
+    ).process()
+    tar0 = sorted(out2.glob("*.tar.gz"))[0]
+    with tarfile.open(tar0, "r:*") as tar:
+        assert all(m.isfile() for m in tar.getmembers()), "symlink stored"
+    store = open_chunk_store(tar0, mode="stream")
+    decoded = decode_chunk_samples(store.samples, store, (24, 24))
+    assert len(decoded) == 6
+    assert decoded[0]["image"].shape == (24, 24, 3)
+
+
 def test_splitter_crash_resume_exact(raw_and_chunks, tmp_path):
     """Kill the splitter mid-flush (pending samples routed but unflushed,
     an output archive half-written) and resume: the deterministic-replay
