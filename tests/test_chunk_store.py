@@ -201,6 +201,19 @@ def test_auto_mode_reuses_extracted_cache(chunk, tmp_path):
     assert isinstance(cold, MemoryChunkStore)
 
 
+def test_open_chunk_store_invalid_modes(chunk, tmp_path):
+    tar_path, _ = chunk
+    with pytest.raises(ValueError, match="chunk_io"):
+        open_chunk_store(tar_path, mode="bogus")
+    with pytest.raises(ValueError, match="cache_dir"):
+        open_chunk_store(tar_path, mode="extract")  # extract needs a cache
+    # stream-mode failure with a cache_dir available falls back to extract
+    bad = tmp_path / "dataset_chunk_000009.tar.gz"
+    bad.write_bytes(b"\x1f\x8bgarbage")
+    with pytest.raises(Exception):
+        open_chunk_store(bad, mode="stream")  # no fallback without cache
+
+
 def test_missing_samples_pkl_raises(tmp_path):
     path = tmp_path / "empty.tar.gz"
     with tarfile.open(path, "w:gz") as tar:
