@@ -9,11 +9,15 @@
 // internal std::thread pool — no GIL, no per-image Python dispatch.
 //
 // C ABI (ctypes-friendly):
-//   pd_decode_jpeg_batch(blobs, sizes, n, out_h, out_w, out)   RGB  f32 [0,1]
-//   pd_decode_png_gray_batch(blobs, sizes, n, out_h, out_w, out) GRAY f32 [0,1]
+//   pd_decode_jpeg_batch(blobs, sizes, n, out_h, out_w, out, threads, ok)
+//     RGB  f32 [0,1]
+//   pd_decode_png_gray_batch(blobs, sizes, n, out_h, out_w, out, threads, ok)
+//     GRAY f32 [0,1]
 // Both write [n, out_h, out_w, C] row-major into caller-allocated `out`
-// and return the number of successfully decoded images (failures leave
-// zeros at their slot).
+// and return the number of successfully decoded images. `ok` (may be
+// NULL) receives a per-slot 1/0 success flag — the honest failure signal
+// (failures also leave zeros at their slot, but all-zero is a legal
+// image, so callers should use the flags).
 //
 // Build: make -C native  (links against system libjpeg + libpng)
 
@@ -183,7 +187,7 @@ bool decode_png_gray_one(const uint8_t *blob, size_t size, int out_h,
 template <typename Fn>
 int run_batch(const uint8_t **blobs, const int64_t *sizes, int n, int out_h,
               int out_w, int channels, float *out, Fn decode_one,
-              int num_threads) {
+              int num_threads, uint8_t *ok_out) {
   std::atomic<int> next{0}, ok{0};
   const size_t stride = static_cast<size_t>(out_h) * out_w * channels;
   auto worker = [&] {
@@ -191,12 +195,14 @@ int run_batch(const uint8_t **blobs, const int64_t *sizes, int n, int out_h,
       int i = next.fetch_add(1);
       if (i >= n) return;
       float *dst = out + static_cast<size_t>(i) * stride;
-      if (decode_one(blobs[i], static_cast<size_t>(sizes[i]), out_h, out_w,
-                     dst)) {
+      bool good = decode_one(blobs[i], static_cast<size_t>(sizes[i]), out_h,
+                             out_w, dst);
+      if (good) {
         ok.fetch_add(1);
       } else {
         std::memset(dst, 0, stride * sizeof(float));
       }
+      if (ok_out) ok_out[i] = good ? 1 : 0;
     }
   };
   int t = std::max(1, std::min(num_threads, n));
@@ -212,16 +218,17 @@ int run_batch(const uint8_t **blobs, const int64_t *sizes, int n, int out_h,
 extern "C" {
 
 int pd_decode_jpeg_batch(const uint8_t **blobs, const int64_t *sizes, int n,
-                         int out_h, int out_w, float *out, int num_threads) {
+                         int out_h, int out_w, float *out, int num_threads,
+                         uint8_t *ok_out) {
   return run_batch(blobs, sizes, n, out_h, out_w, 3, out, decode_jpeg_one,
-                   num_threads);
+                   num_threads, ok_out);
 }
 
 int pd_decode_png_gray_batch(const uint8_t **blobs, const int64_t *sizes,
                              int n, int out_h, int out_w, float *out,
-                             int num_threads) {
+                             int num_threads, uint8_t *ok_out) {
   return run_batch(blobs, sizes, n, out_h, out_w, 1, out, decode_png_gray_one,
-                   num_threads);
+                   num_threads, ok_out);
 }
 
 const char *pd_version() { return "posedec 0.1.0"; }

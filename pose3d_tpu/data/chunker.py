@@ -95,6 +95,9 @@ class Human36MChunker:
         self.name_prefix = name_prefix
 
         self.new_samples: List[Dict] = []
+        # (subject_id, file_id) aligned 1:1 with new_samples — committed
+        # to processed_files per chunk at upload time (see _upload_chunk)
+        self._pending_ids: List[tuple] = []
         self._pause_requested = False
         self.state = self._load_state() if resume else self._fresh_state()
 
@@ -215,21 +218,22 @@ class Human36MChunker:
             }
             return sample, file_id
 
-        samples, file_ids = [], []
+        samples = []
         with ThreadPoolExecutor(max_workers=8) as ex:
             for i, out in enumerate(ex.map(build, candidates)):
                 if out is not None:
                     s, fid = out
                     samples.append(s)
-                    file_ids.append(fid)
+                    # A sample's file_id is committed to
+                    # state["processed_files"] only when the chunk holding
+                    # it has been UPLOADED (_upload_chunk) — committing at
+                    # load time silently lost every loaded-but-unpacked
+                    # sample across a pause/crash during chunk creation
+                    # (review finding; the id filter at the top of this
+                    # method would drop them forever on resume).
+                    self._pending_ids.append((subject_id, fid))
                 if i % 1000 == 0:
                     self._check_pause()
-
-        self.state.setdefault("processed_files", {}).setdefault(
-            str(subject_id), []
-        ).extend(file_ids)
-        if subject_id not in self.state["subjects_processed"]:
-            self.state["subjects_processed"].append(subject_id)
         logger.info(
             "Loaded %d new samples for subject %d", len(samples), subject_id
         )
@@ -343,12 +347,20 @@ class Human36MChunker:
 
             self.state["chunks_created"].append(chunk_filename)
             self._save_state()
-            self._upload_chunk(archive, chunk_filename)
+            ids = self._pending_ids[
+                i * self.chunk_size : (i + 1) * self.chunk_size
+            ]
+            self._upload_chunk(archive, chunk_filename, ids)
             self._check_pause()
 
-    def _upload_chunk(self, archive: Path, chunk_filename: str):
+    def _upload_chunk(self, archive: Path, chunk_filename: str,
+                      sample_ids: Sequence[tuple] = ()):
         """Throttled copy to the output directory (the reference's OneDrive
-        'upload', :775-827)."""
+        'upload', :775-827). The chunk's sample ids become 'processed' in
+        the SAME state save that marks the chunk uploaded — a crash at any
+        earlier point re-loads and re-packs those samples on resume (at
+        worst the tiny copy-done→state-save window duplicates one chunk;
+        data is never lost)."""
         dst = self.output_dir / chunk_filename
         if self.upload_throttle_mbps:
             chunk_bytes = int(self.upload_throttle_mbps * 1024 * 1024 / 10)
@@ -363,6 +375,12 @@ class Human36MChunker:
             shutil.copyfile(archive, dst)
         archive.unlink()
         self.state["chunks_uploaded"].append(chunk_filename)
+        for subj, fid in sample_ids:
+            self.state.setdefault("processed_files", {}).setdefault(
+                str(subj), []
+            ).append(fid)
+            if subj not in self.state["subjects_processed"]:
+                self.state["subjects_processed"].append(subj)
         self._save_state()
         logger.info("Uploaded %s", chunk_filename)
 

@@ -404,13 +404,25 @@ def decode_chunk_samples(
 
     if not metas:
         return []
-    images = native.decode_jpeg_batch(img_blobs, image_size, num_threads)
-    depths01 = native.decode_png_gray_batch(dep_blobs, image_size, num_threads)
+    images, img_ok = native.decode_jpeg_batch(
+        img_blobs, image_size, num_threads
+    )
+    depths01, dep_ok = native.decode_png_gray_batch(
+        dep_blobs, image_size, num_threads
+    )
 
     out = []
-    for meta, img, d01 in zip(metas, images, depths01):
-        if img.max() == 0:
+    for meta, img, d01, iok, dok in zip(
+        metas, images, depths01, img_ok, dep_ok
+    ):
+        # Per-slot decoder flags are the failure signal — an all-black
+        # frame is a legal image, and a corrupt depth PNG must drop the
+        # sample rather than train on depth==depth_min everywhere.
+        if not iok:
             logger.error("Undecodable image %s", meta["image_path"])
+            continue
+        if not dok:
+            logger.error("Undecodable depth for %s", meta["image_path"])
             continue
         depth = d01 * (meta["depth_max"] - meta["depth_min"]) + meta["depth_min"]
         rec = dict(meta)

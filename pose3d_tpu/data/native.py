@@ -53,6 +53,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_int64),
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_uint8),
                     ]
                 try:  # chunkio entry points (absent in pre-round-3 builds)
                     lib.pd_chunk_open.restype = ctypes.c_void_p
@@ -84,11 +85,12 @@ def native_available() -> bool:
 
 
 def _batch_call(fn_name: str, blobs: Sequence[bytes], out_hw, channels: int,
-                num_threads: int) -> np.ndarray:
+                num_threads: int):
     lib = get_lib()
     n = len(blobs)
     h, w = out_hw
     out = np.zeros((n, h, w, channels), np.float32)
+    flags = np.zeros((n,), np.uint8)
     arr = (ctypes.c_char_p * n)(*blobs)
     sizes = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
     fn = getattr(lib, fn_name)
@@ -98,18 +100,20 @@ def _batch_call(fn_name: str, blobs: Sequence[bytes], out_hw, channels: int,
         n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         num_threads,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if ok != n:
         logger.warning("%s: %d/%d blobs decoded", fn_name, ok, n)
-    return out
+    return out, flags.astype(bool)
 
 
-def _cv2_fallback(blobs, out_hw, gray: bool) -> np.ndarray:
+def _cv2_fallback(blobs, out_hw, gray: bool):
     import cv2
 
     h, w = out_hw
     c = 1 if gray else 3
     out = np.zeros((len(blobs), h, w, c), np.float32)
+    flags = np.zeros((len(blobs),), bool)
     for i, b in enumerate(blobs):
         buf = np.frombuffer(b, np.uint8)
         img = cv2.imdecode(
@@ -121,12 +125,14 @@ def _cv2_fallback(blobs, out_hw, gray: bool) -> np.ndarray:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
         out[i] = (img.astype(np.float32) / 255.0).reshape(h, w, c)
-    return out
+        flags[i] = True
+    return out, flags
 
 
 def decode_jpeg_batch(blobs: Sequence[bytes], out_hw,
-                      num_threads: int = 8) -> np.ndarray:
-    """[N encoded JPEGs] → [N, H, W, 3] float32 RGB in [0, 1]."""
+                      num_threads: int = 8):
+    """[N encoded JPEGs] → ([N, H, W, 3] float32 RGB in [0, 1],
+    [N] bool per-slot success flags)."""
     if native_available():
         return _batch_call("pd_decode_jpeg_batch", blobs, out_hw, 3,
                            num_threads)
@@ -134,8 +140,9 @@ def decode_jpeg_batch(blobs: Sequence[bytes], out_hw,
 
 
 def decode_png_gray_batch(blobs: Sequence[bytes], out_hw,
-                          num_threads: int = 8) -> np.ndarray:
-    """[N encoded PNGs] → [N, H, W, 1] float32 gray in [0, 1]."""
+                          num_threads: int = 8):
+    """[N encoded PNGs] → ([N, H, W, 1] float32 gray in [0, 1],
+    [N] bool per-slot success flags)."""
     if native_available():
         return _batch_call("pd_decode_png_gray_batch", blobs, out_hw, 1,
                            num_threads)

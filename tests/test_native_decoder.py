@@ -35,8 +35,9 @@ def test_jpeg_batch_matches_cv2():
     # at 1/2 scale in the DCT domain, which differs more on noise images
     # (worst case for frequency-domain downscaling).
     blobs, raws = zip(*[_jpeg_blob(37, 53), _jpeg_blob(64, 64)])
-    out = native.decode_jpeg_batch(list(blobs), (32, 32))
+    out, ok = native.decode_jpeg_batch(list(blobs), (32, 32))
     assert out.shape == (2, 32, 32, 3)
+    assert ok.tolist() == [True, True]
     mean_bounds = [0.02, 0.09]
     for i, blob in enumerate(blobs):
         dec = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
@@ -48,8 +49,9 @@ def test_jpeg_batch_matches_cv2():
 
 def test_png_gray_batch_matches_cv2():
     blobs, raws = zip(*[_png_blob(40, 50), _png_blob(20, 20)])
-    out = native.decode_png_gray_batch(list(blobs), (16, 16))
+    out, ok = native.decode_png_gray_batch(list(blobs), (16, 16))
     assert out.shape == (2, 16, 16, 1)
+    assert ok.all()
     for i, (blob, raw) in enumerate(zip(blobs, raws)):
         ref = cv2.resize(raw, (16, 16), interpolation=cv2.INTER_LINEAR)
         ref = (ref.astype(np.float32) / 255.0)[..., None]
@@ -59,21 +61,34 @@ def test_png_gray_batch_matches_cv2():
 def test_png_lossless_identity():
     """PNG is lossless: decoding at native size must be exact."""
     blob, raw = _png_blob(24, 24)
-    out = native.decode_png_gray_batch([blob], (24, 24))
+    out, _ = native.decode_png_gray_batch([blob], (24, 24))
     np.testing.assert_allclose(
         out[0, ..., 0], raw.astype(np.float32) / 255.0, atol=1e-6
     )
 
 
-def test_corrupt_blob_zero_filled():
+def test_corrupt_blob_flagged_and_zero_filled():
     good, _ = _jpeg_blob(16, 16)
-    out = native.decode_jpeg_batch([b"not a jpeg", good], (8, 8))
+    out, ok = native.decode_jpeg_batch([b"not a jpeg", good], (8, 8))
+    assert ok.tolist() == [False, True]
     assert np.all(out[0] == 0)
     assert out[1].max() > 0
 
 
+def test_all_black_jpeg_is_valid():
+    """An all-black frame decodes with ok=True — per-slot flags, not the
+    old max()==0 heuristic, are the failure signal (review finding)."""
+    black = np.zeros((16, 16, 3), np.uint8)
+    okenc, enc = cv2.imencode(".jpg", black)
+    assert okenc
+    out, ok = native.decode_jpeg_batch([bytes(enc)], (8, 8))
+    assert ok.tolist() == [True]
+    assert np.all(out[0] == 0)
+
+
 def test_large_batch_threads():
     blobs = [_jpeg_blob(30, 30)[0] for _ in range(32)]
-    out = native.decode_jpeg_batch(blobs, (16, 16), num_threads=4)
+    out, ok = native.decode_jpeg_batch(blobs, (16, 16), num_threads=4)
     assert out.shape == (32, 16, 16, 3)
+    assert ok.all()
     assert np.all(out.max(axis=(1, 2, 3)) > 0)
