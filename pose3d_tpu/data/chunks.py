@@ -306,7 +306,8 @@ def _resize(img: np.ndarray, size_hw, interpolation=cv2.INTER_LINEAR):
 
 
 def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17,
-                       root_relative: bool = True) -> Optional[Dict]:
+                       root_relative: bool = True,
+                       fallback_image_size=None) -> Optional[Dict]:
     """Metadata-side decode: keypoints, joints, depth min/max — everything
     except the pixel data (see decode_sample steps 3-7).
 
@@ -335,6 +336,13 @@ def decode_sample_meta(sample: Dict, chunk_dir, num_joints: int = 17,
             return None
         size_list = sample.get("image_size", metadata.get("image_size"))
         if size_list is None:
+            size_list = fallback_image_size
+        if size_list is None:
+            logger.warning(
+                "Sample %s has no image_size in sample dict or metadata — "
+                "keypoints cannot be normalized; dropping it",
+                sample.get("image_file"),
+            )
             return None
         img_w, img_h = float(size_list[0]), float(size_list[1])
         kpts = kpts.copy()
@@ -389,7 +397,7 @@ def decode_chunk_samples(
 
     store = _as_store(chunk_dir)
     metas, img_blobs, dep_blobs = [], [], []
-    for sample in samples:
+    for src_index, sample in enumerate(samples):
         meta = decode_sample_meta(sample, store, num_joints, root_relative)
         if meta is None:
             continue
@@ -398,6 +406,10 @@ def decode_chunk_samples(
         if ib is None or db is None:
             logger.error("Missing pixel file for %s", sample.get("image_file"))
             continue
+        # Index within the INPUT list — lets the streaming pipeline
+        # report raw-stream positions even when samples are dropped here
+        # (deterministic mid-epoch resume counts raw samples).
+        meta["_src_index"] = src_index
         metas.append(meta)
         img_blobs.append(ib)
         dep_blobs.append(db)
@@ -441,85 +453,63 @@ def decode_sample(
 ) -> Optional[Dict]:
     """Decode one sample dict into fixed-shape numpy arrays (NHWC).
 
+    Pixels decode via cv2 (single-sample path); everything else delegates
+    to :func:`decode_sample_meta` so the two decode paths cannot drift
+    (they previously duplicated ~50 lines and diverged on the image_size
+    fallback, review finding). The decoded image's original dimensions
+    serve as the image_size fallback when the metadata lacks it.
+
     Returns None on any failure (per-sample skip-on-error, reference
     chunked_dataset.py:234-244).
     """
-    chunk_dir = Path(chunk_dir)
+    store = _as_store(chunk_dir)
     try:
         # 1/2. RGB + depth images.
-        image_path = chunk_dir / sample["image_file"]
-        img_bgr = cv2.imread(str(image_path), cv2.IMREAD_COLOR)
+        img_blob = store.read_member(sample["image_file"])
+        if img_blob is None:
+            logger.error("RGB image missing: %s", sample.get("image_file"))
+            return None
+        img_bgr = cv2.imdecode(
+            np.frombuffer(img_blob, np.uint8), cv2.IMREAD_COLOR
+        )
         if img_bgr is None:
-            logger.error("RGB image not found/undecodable: %s", image_path)
+            logger.error("Undecodable RGB image: %s", sample["image_file"])
             return None
         orig_h, orig_w = img_bgr.shape[:2]
         img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
         img = _resize(img, image_size).astype(np.float32) / 255.0  # [H,W,3]
 
-        depth_path = chunk_dir / sample["depth_file"]
-        depth_raw = cv2.imread(str(depth_path), cv2.IMREAD_GRAYSCALE)
+        dep_blob = store.read_member(sample["depth_file"])
+        if dep_blob is None:
+            logger.error("Depth image missing: %s", sample.get("depth_file"))
+            return None
+        depth_raw = cv2.imdecode(
+            np.frombuffer(dep_blob, np.uint8), cv2.IMREAD_GRAYSCALE
+        )
         if depth_raw is None:
-            logger.error("Depth image not found/undecodable: %s", depth_path)
+            logger.error("Undecodable depth image: %s", sample["depth_file"])
             return None
         depth01 = _resize(depth_raw, image_size).astype(np.float32) / 255.0
 
-        # 3. Metadata.
-        metadata = {}
-        meta_file = sample.get("metadata_file")
-        if meta_file:
-            meta_path = chunk_dir / meta_file
-            if meta_path.is_file():
-                with open(meta_path) as f:
-                    metadata = json.load(f)
-            else:
-                logger.error("Metadata file missing: %s", meta_path)
-                return None
+        # 3-7. Metadata / keypoints / joints (shared with the batch path).
+        meta = decode_sample_meta(
+            sample, store, num_joints, root_relative,
+            fallback_image_size=[float(orig_w), float(orig_h)],
+        )
+        if meta is None:
+            return None
 
         # 4. Depth rescale toward metric using stored min/max
         #    (reference chunked_dataset.py:159-167).
-        dmin = float(sample.get("depth_min", metadata.get("depth_min", 0.0)))
-        dmax = float(sample.get("depth_max", metadata.get("depth_max", 1.0)))
-        depth = (depth01 * (dmax - dmin) + dmin)[..., None]  # [H,W,1]
+        depth = (
+            depth01 * (meta["depth_max"] - meta["depth_min"])
+            + meta["depth_min"]
+        )[..., None]  # [H,W,1]
 
-        # 5/6. Keypoints of the first person, normalized by ORIGINAL size.
-        kp_src = sample.get("keypoints", metadata.get("keypoints"))
-        kpts = _first_person_keypoints(kp_src)
-        if kpts is None or kpts.shape[0] == 0:
-            logger.warning("No valid keypoints for %s", sample.get("image_file"))
-            return None
-        size_list = sample.get(
-            "image_size", metadata.get("image_size", [float(orig_w), float(orig_h)])
-        )
-        img_w, img_h = float(size_list[0]), float(size_list[1])
-        kpts = kpts.copy()
-        kpts[:, 0] /= img_w
-        kpts[:, 1] /= img_h
-        # pad/truncate to num_joints for static shapes
-        if kpts.shape[0] != num_joints:
-            out = np.zeros((num_joints, 2), np.float32)
-            n = min(num_joints, kpts.shape[0])
-            out[:n] = kpts[:n]
-            kpts = out
-
-        # 7. Root-relative 3D joints (reference chunked_dataset.py:205-206);
-        #    root_relative=False keeps absolute joints (DEP-P).
-        joints = np.asarray(sample["joints_3d"], dtype=np.float32)
-        if root_relative:
-            joints = joints - joints[0:1]
-
-        return {
-            "image": img,
-            "depth": depth,
-            "keypoints_2d": kpts,
-            "joints_3d": joints,
-            "camera_params": sample.get("camera_params"),
-            "image_path": sample.get("image_file"),
-            "action": sample.get("action"),
-            "subaction": sample.get("subaction"),
-            "image_size": np.array([img_w, img_h], np.float32),
-            "frame_idx": sample.get("frame_idx"),
-            "num_joints": num_joints,
-        }
+        rec = dict(meta)
+        rec["image"] = img
+        rec["depth"] = depth.astype(np.float32)
+        return rec
     except Exception:
         logger.exception("Failed to decode sample %s", sample.get("image_file"))
         return None

@@ -5,7 +5,9 @@ The reference collator pads images to the max H/W in each batch
 poison for XLA (every new max recompiles). Here batches are padded to a
 STATIC target size: the common case (all samples already at the model input
 size) is a plain stack; augmented samples of other sizes are zero-padded
-bottom/right exactly like the reference, or center-cropped if larger.
+bottom/right exactly like the reference, or top-left-cropped if larger
+(keeping the origin fixed, consistent with where augmented keypoints
+land on the canvas).
 """
 
 from __future__ import annotations

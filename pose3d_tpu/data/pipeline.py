@@ -24,7 +24,7 @@ import shutil
 import tempfile
 import threading
 from pathlib import Path
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 from pose3d_tpu.data.chunks import (
     chunk_id_from_filename,
@@ -50,7 +50,6 @@ class ChunkPrefetcher:
         max_chunks_in_memory: int = 2,
         decode_workers: int = 8,
         chunk_timeout_s: float = 300.0,
-        augmentor: Optional[Callable[[Dict], Dict]] = None,
         root_relative: bool = True,
         decode_group: int = 64,
         shuffle_seed: Optional[int] = None,
@@ -63,7 +62,6 @@ class ChunkPrefetcher:
         self.image_size = tuple(image_size)
         self.decode_workers = decode_workers
         self.chunk_timeout_s = chunk_timeout_s
-        self.augmentor = augmentor
         self.root_relative = root_relative
         # Sub-chunk pipelining: decode the (pre-shuffled) chunk in groups of
         # ``decode_group`` samples and enqueue each group as it completes,
@@ -128,6 +126,14 @@ class ChunkPrefetcher:
                     mode=self.chunk_io,
                 )
 
+        # Raw-stream position of the epoch (counts RAW shuffled samples,
+        # including resume-skipped ones and samples later dropped by
+        # decode errors) — attached to every decoded record as
+        # ``_raw_pos`` = number of raw samples consumed once this record
+        # is consumed. skip_next_samples skips raw samples, so resume
+        # positions must be recorded in the same units (a decoded-sample
+        # count drifts by one for every drop).
+        raw_consumed = skip  # partial-chunk skip counts as consumed
         try:
             for i, chunk_file in enumerate(files):
                 if self.stop_event.is_set():
@@ -170,6 +176,8 @@ class ChunkPrefetcher:
                         )
                         samples = samples[skip:]
                         skip = 0
+                    chunk_base = raw_consumed
+                    raw_consumed += len(samples)
                     n_dec = 0
                     g = self.decode_group
                     for lo in range(0, len(samples), g):
@@ -180,6 +188,10 @@ class ChunkPrefetcher:
                             num_threads=self.decode_workers,
                             root_relative=self.root_relative,
                         )
+                        for rec in decoded:
+                            rec["_raw_pos"] = (
+                                chunk_base + lo + rec.pop("_src_index") + 1
+                            )
                         n_dec += len(decoded)
                         if decoded and not self._put((chunk_id, decoded)):
                             return
@@ -262,12 +274,21 @@ class StreamingChunkedDataset:
         self.chunk_files = list_chunk_files(chunks_dir, prefix, chunk_indices)
         logger.info("Found %d chunk files", len(self.chunk_files))
 
-        # Shard chunks across hosts (reference chunked_dataset.py:511-514).
+        # Shard chunks across hosts, round-robin (generalizes the
+        # reference's per-worker split, chunked_dataset.py:511-514). The
+        # reference-style contiguous ceil split can hand trailing hosts
+        # ZERO chunks (5 files / 4 shards → 2,2,1,0) — a host with no
+        # batches never joins the SPMD collectives and the pod hangs;
+        # round-robin gives every host ≥1 chunk whenever there are at
+        # least num_shards files, and we fail loudly otherwise.
         if num_shards > 1:
-            per = -(-len(self.chunk_files) // num_shards)
-            self.chunk_files = self.chunk_files[
-                shard_id * per : (shard_id + 1) * per
-            ]
+            if len(self.chunk_files) < num_shards:
+                raise ValueError(
+                    f"{len(self.chunk_files)} chunk files cannot be "
+                    f"sharded over {num_shards} hosts — every host needs "
+                    "at least one chunk or the SPMD pod deadlocks"
+                )
+            self.chunk_files = self.chunk_files[shard_id::num_shards]
 
         self.augmentor = None
         if use_augmentation:
@@ -348,10 +369,20 @@ class StreamingChunkedDataset:
                 _, samples = item
                 for s in samples:
                     if self.augmentor is not None and self.training:
+                        pos = s.get("_raw_pos")
                         s = self.augmentor(s)
+                        if pos is not None:  # survive augmentor rebuilds
+                            s["_raw_pos"] = pos
                     yield s
         finally:
             prefetcher.close()
+
+
+class _FeederError:
+    """Queue marker carrying a feeder-thread exception to the consumer."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
 
 
 class BatchLoader:
@@ -375,6 +406,22 @@ class BatchLoader:
         self.prefetch = prefetch
         self.loop = loop
 
+    def _pos_for(self, buf: List[Dict], consumed_fallback: int):
+        """Stream position for deterministic resume — (epoch, raw samples
+        consumed once this batch is done). Prefers the last sample's
+        ``_raw_pos`` (raw-stream units, robust to decode-dropped
+        samples); falls back to counting yielded samples for sources
+        that don't attach positions. Host-only metadata — dropped by
+        device_batch/_superbatches' key filters."""
+        raw = buf[-1].get("_raw_pos")
+        return (
+            getattr(self.dataset, "current_epoch", 0),
+            raw if raw is not None else (
+                getattr(self.dataset, "current_epoch_base", 0)
+                + consumed_fallback
+            ),
+        )
+
     def _batches_once(self):
         buf: List[Dict] = []
         batch_idx = 0
@@ -382,25 +429,16 @@ class BatchLoader:
             buf.append(sample)
             if len(buf) == self.batch_size:
                 b = collate_fixed(buf, self.image_size)
-                # Stream position for deterministic resume: consuming this
-                # batch means base+(batch_idx+1)*batch_size samples of
-                # epoch ``current_epoch`` are done (base = samples skipped
-                # by a resume fast-forward). Host-only metadata — dropped
-                # by device_batch/_superbatches' key filters.
-                b["_pos"] = (
-                    getattr(self.dataset, "current_epoch", 0),
-                    getattr(self.dataset, "current_epoch_base", 0)
-                    + (batch_idx + 1) * self.batch_size,
+                b["_pos"] = self._pos_for(
+                    buf, (batch_idx + 1) * self.batch_size
                 )
                 yield b
                 batch_idx += 1
                 buf = []
         if buf and not self.drop_last:
             b = collate_fixed(buf, self.image_size)
-            b["_pos"] = (
-                getattr(self.dataset, "current_epoch", 0),
-                getattr(self.dataset, "current_epoch_base", 0)
-                + batch_idx * self.batch_size + len(buf),
+            b["_pos"] = self._pos_for(
+                buf, batch_idx * self.batch_size + len(buf)
             )
             yield b
 
@@ -415,6 +453,7 @@ class BatchLoader:
         stop = threading.Event()
 
         def feeder():
+            err = None
             try:
                 for b in self._batches():
                     while not stop.is_set():
@@ -425,10 +464,18 @@ class BatchLoader:
                             continue
                     if stop.is_set():
                         return
+            except BaseException as e:  # propagated to the consumer below
+                err = e
+                logger.exception("BatchLoader feeder failed")
             finally:
+                # End-of-stream sentinel, or the captured error — a bare
+                # swallow here made any data-pipeline exception look like
+                # a clean (truncated) epoch to the training loop (wrong
+                # step counts, checkpoint positions, LR schedule).
+                sentinel = _FeederError(err) if err is not None else None
                 while not stop.is_set():
                     try:
-                        q.put(None, timeout=1.0)
+                        q.put(sentinel, timeout=1.0)
                         return
                     except queue.Full:
                         continue
@@ -440,6 +487,10 @@ class BatchLoader:
                 b = q.get()
                 if b is None:
                     return
+                if isinstance(b, _FeederError):
+                    raise RuntimeError(
+                        "data pipeline failed in the feeder thread"
+                    ) from b.error
                 yield b
         finally:
             stop.set()

@@ -296,10 +296,12 @@ class DatasetSplitter:
         self.output_dir = Path(output_dir)
         self.train_subjects = {int(s) for s in train_subjects}
         self.test_subjects = {int(s) for s in test_subjects}
+        # Default staging lives UNDER the output dir so the crash-resume
+        # state survives the process — a mkdtemp default made resume=True
+        # unreachable (fresh tempdir every run, review finding).
         self.staging = (
-            Path(staging_dir)
-            if staging_dir
-            else Path(tempfile.mkdtemp(prefix="split_"))
+            Path(staging_dir) if staging_dir
+            else Path(output_dir) / ".split_staging"
         )
         self.staging.mkdir(parents=True, exist_ok=True)
         self.new_chunk_size = new_chunk_size

@@ -331,3 +331,49 @@ def test_extract_recovers_from_stale_partial_dir(raw_and_chunks, tmp_path):
         out / "samples.pkl").exists()
     # second call is a cheap cache hit
     assert extract_chunk(tar, cache) == out
+
+
+def test_chunker_pause_resume_loses_no_samples(raw_and_chunks, tmp_path):
+    """Pause (SIGINT-style SystemExit) during chunk creation, then
+    resume: every loaded sample must end up in exactly one uploaded
+    chunk. The old state machine committed sample ids at LOAD time, so
+    loaded-but-unpacked samples were silently dropped forever on resume
+    (review finding)."""
+    root, _ = raw_and_chunks
+    out = tmp_path / "pause_chunks"
+
+    def build(**kw):
+        return Human36MChunker(
+            subject_ids=[1, 5], output_dir=out,
+            annotations_path=root / "annotations",
+            images_path=root / "images",
+            processed_path=root / "processed",
+            chunk_size=5, compression="gz", **kw,
+        )
+
+    ck = build()
+    uploads = {"n": 0}
+    orig_upload = ck._upload_chunk
+
+    def pausing_upload(archive, name, ids=()):
+        orig_upload(archive, name, ids)
+        uploads["n"] += 1
+        if uploads["n"] == 1:  # pause right after the first chunk lands
+            ck._pause_requested = True
+
+    ck._upload_chunk = pausing_upload
+    with pytest.raises(SystemExit):
+        ck.process()
+    assert len(list(out.glob("*.tar.gz"))) == 1  # paused mid-run
+
+    build(resume=True).process()  # same command line, resumed
+
+    from pose3d_tpu.data.chunks import open_chunk_store
+
+    seen = []
+    for tar in sorted(out.glob("*.tar.gz")):
+        store = open_chunk_store(tar, mode="stream")
+        seen.extend(
+            (s["subject"], s["frame_idx"], s["cam_idx"]) for s in store.samples
+        )
+    assert len(seen) == 12 and len(set(seen)) == 12  # no loss, no dupes

@@ -1,6 +1,8 @@
 """Input-pipeline tests over synthetic chunks in the reference's container
 format (no Human3.6M needed)."""
 
+import io
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,78 @@ def test_dataset_len_estimate(chunk_dir, tmp_path):
         "train", str(root), image_size=(32, 32), cache_dir=tmp_path / "le",
     )
     assert len(ds) == 2000  # 1000 × num_chunks (reference convention)
+
+
+def test_batchloader_propagates_feeder_errors():
+    """A data-pipeline exception must surface in the consumer — the old
+    feeder swallowed it via return-inside-finally and training saw a
+    clean truncated epoch (review finding)."""
+    class ExplodingDataset:
+        image_size = (8, 8)
+
+        def __iter__(self):
+            rng = np.random.default_rng(0)
+            for i in range(3):
+                yield {
+                    "image": rng.random((8, 8, 3), np.float32),
+                    "depth": rng.random((8, 8, 1), np.float32),
+                    "keypoints_2d": rng.random((17, 2)).astype(np.float32),
+                    "joints_3d": rng.random((17, 3)).astype(np.float32),
+                    "image_size": np.array([8.0, 8.0], np.float32),
+                }
+            raise OSError("disk vanished mid-epoch")
+
+    loader = BatchLoader(ExplodingDataset(), batch_size=2)
+    it = iter(loader)
+    next(it)  # first full batch works
+    with pytest.raises(RuntimeError, match="data pipeline failed"):
+        for _ in it:
+            pass
+
+
+def test_raw_positions_count_dropped_samples(tmp_path):
+    """_pos counts RAW stream samples (the units skip_next_samples
+    consumes): a sample dropped by a decode error must still advance the
+    position, or every resume after it replays trained samples
+    (review finding)."""
+    import tarfile
+
+    from helpers_synthetic import make_synthetic_chunk
+
+    root = tmp_path / "ds"
+    tar_path, _ = make_synthetic_chunk(
+        root, 0, num_samples=6, image_hw=(40, 50), prefix="train"
+    )
+    # corrupt sample 2's image INSIDE the archive
+    tmp_tar = tar_path.with_suffix(".new")
+    with tarfile.open(tar_path, "r:gz") as src, \
+            tarfile.open(tmp_tar, "w:gz") as dst:
+        for m in src:
+            data = src.extractfile(m).read() if m.isfile() else None
+            if m.name.endswith("000002/image.jpg"):
+                data = b"corrupt!"
+                m.size = len(data)
+            dst.addfile(m, io.BytesIO(data) if data is not None else None)
+    tmp_tar.replace(tar_path)
+
+    ds = StreamingChunkedDataset(
+        "train", root, image_size=(32, 32), cache_dir=tmp_path / "c",
+        shuffle=False, shuffle_chunks=False,
+    )
+    loader = BatchLoader(ds, batch_size=1, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 5  # sample 2 dropped
+    positions = [b["_pos"][1] for b in batches]
+    # raw positions skip over the dropped sample: 1,2,4,5,6 not 1..5
+    assert positions == [1, 2, 4, 5, 6]
+
+    # resuming from the position recorded after the 2nd batch must
+    # reproduce exactly the uninterrupted run's remaining stream
+    ds2 = StreamingChunkedDataset(
+        "train", root, image_size=(32, 32), cache_dir=tmp_path / "c2",
+        shuffle=False, shuffle_chunks=False,
+    )
+    ds2.set_epoch(0)
+    ds2.skip_next_samples(positions[1])
+    tail = [s["_raw_pos"] for s in ds2]
+    assert tail == [4, 5, 6]
