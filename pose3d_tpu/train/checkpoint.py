@@ -51,7 +51,9 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict,
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path / "state", tree, force=True)
     meta = {
-        "step": int(jax.device_get(state.step)),
+        # already on host from the bulk fetch — a separate device_get
+        # costs ~1 s per array through the remote-TPU tunnel
+        "step": int(tree["step"]),
         "model_type": model_type,
         "model_args": model_args,
         "format": "pose3d_tpu/v1",
@@ -191,15 +193,7 @@ def load_checkpoint(path, template_state=None) -> Tuple[Dict, Dict]:
                 # include EMA weights only when the checkpoint carries them
                 # (a pre-EMA checkpoint restores into an EMA-enabled state,
                 # which keeps its freshly-initialized ema_params)
-                try:
-                    md = ckptr.metadata(path / "state")
-                    md_tree = getattr(
-                        getattr(md, "item_metadata", md), "tree", md
-                    )
-                    has_ema = "ema_params" in md_tree
-                except Exception:
-                    has_ema = False
-                if has_ema:
+                if checkpoint_has_ema(path):
                     template["ema_params"] = template_state.ema_params
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
@@ -242,8 +236,15 @@ def restore_train_state(state, path):
             meta,
         )
     except Exception:
+        # Loud and with the traceback: this path is a FEATURE for
+        # architecture/opt-state mismatches (reference main.py:134-141),
+        # but it also catches transient failures — the user must be able
+        # to see why the full restore failed, because the fallback resets
+        # the AdamW moments and step count of the optimizer.
         logger.warning(
-            "Full state restore failed for %s; retrying params-only", path
+            "Full state restore failed for %s; retrying params-only. "
+            "The OPTIMIZER STATE WILL BE RE-INITIALIZED (fresh AdamW "
+            "moments). Cause:", path, exc_info=True,
         )
         tree, meta = load_checkpoint(path)
         kw = {}

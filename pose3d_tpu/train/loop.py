@@ -108,9 +108,11 @@ def evaluate(eval_step, state, val_loader,
     ``eval_step`` must be per-sample (make_eval_step(per_sample=True));
     ragged final batches are padded to ``pad_to`` (static shapes, no
     recompile) and the padding is masked out of the averages — exact
-    metrics over the full set. With multiple JAX processes, each host
-    evaluates its own (host-sharded) batches and the sums are combined
-    across hosts.
+    metrics over the full set. Multi-host note: validation must be
+    REPLICATED (every process feeds the identical val stream, as
+    cli/main.py arranges) — the sums here are host-local with no
+    cross-host combine, and host-sharding a streaming val set cannot
+    guarantee the equal per-host batch counts SPMD collectives need.
 
     ``per_action`` additionally buckets MPJPE/PA-MPJPE by each batch's
     ``action`` metadata (the standard H3.6M per-action protocol — the
@@ -139,6 +141,10 @@ def evaluate(eval_step, state, val_loader,
         count += bs
         if per_action and batch.get("action") is not None:
             for i in range(bs):
+                if batch["action"][i] is None:
+                    # collate always emits the action list; chunks without
+                    # action metadata must not create a bogus "None" bucket
+                    continue
                 a = str(batch["action"][i])
                 acc = action_totals.setdefault(
                     a, {"mpjpe": 0.0, "pa_mpjpe": 0.0, "count": 0}
@@ -319,7 +325,15 @@ def train_model(
             return None
         if not metric_keys:
             metric_keys.extend(sorted(pending_metrics[0].keys()))
-        vals = np.asarray(_pack_metrics(pending_metrics))  # one readback
+        # Pad the window to its maximum length so _pack_metrics traces
+        # ONCE — jit keys on the list length, and preview/eval-boundary
+        # flushes produce short windows that would otherwise each compile
+        # a fresh program on the tunneled TPU.
+        n = len(pending_metrics)
+        padded = pending_metrics + [pending_metrics[-1]] * (
+            max(log_interval_steps, n) - n
+        )
+        vals = np.asarray(_pack_metrics(padded))[:n]  # one readback
         dt = time.perf_counter() - window_t0
         for i, step_i in enumerate(pending_steps):
             writer.add_scalar(
@@ -367,7 +381,7 @@ def train_model(
             for superbatch in _device_prefetch(
                 _superbatches(train_loader, gradient_accumulation_steps), mesh
             ):
-                if global_step >= target:
+                if global_step >= target or stopped:
                     break
                 if stop_event is not None and stop_event.is_set():
                     logger.warning(
@@ -415,6 +429,18 @@ def train_model(
                     logger.info("Profiler trace written to %s", prof["dir"])
                 if pos is not None:
                     last_pos = (int(pos[0]), int(pos[1]))
+                    if last_pos[0] >= max_epochs and not stopped:
+                        # With a looping train loader the outer epoch
+                        # loop never advances — enforce the documented
+                        # max_epochs cap from the stream's own epoch
+                        # counter instead (review finding: num_steps=None
+                        # otherwise trained forever). Stop is deferred to
+                        # the loop head so this step's metrics still log.
+                        logger.warning(
+                            "max_epochs=%d reached at step %d — stopping.",
+                            max_epochs, global_step,
+                        )
+                        stopped = True
                 pending_steps.append(global_step)
                 pending_metrics.append(metrics)
                 pending_images += (
@@ -445,13 +471,24 @@ def train_model(
                                 "Validation loader yielded no batches — "
                                 "check --val-chunks / --chunks-dir."
                             ) from None
-                    _, preds = eval_step(
-                        eval_view(state),
-                        {
-                            k: preview[k]
-                            for k in ("image", "depth", "keypoints_2d", "joints_3d")
-                        },
-                    )
+                    db = {
+                        k: preview[k]
+                        for k in ("image", "depth", "keypoints_2d", "joints_3d")
+                    }
+                    # Pad a ragged final val batch to the loader's batch
+                    # size (same recipe as evaluate()): an off-size batch
+                    # fails the mesh's in_shardings outright and forces a
+                    # fresh ~40 s compile on a single device.
+                    bs = db["image"].shape[0]
+                    pad_to = getattr(val_loader, "batch_size", bs)
+                    if bs < pad_to:
+                        db = {
+                            k: np.concatenate(
+                                [v, np.repeat(v[:1], pad_to - bs, axis=0)]
+                            )
+                            for k, v in db.items()
+                        }
+                    _, preds = eval_step(eval_view(state), db)
                     preds = np.asarray(jax.device_get(preds))
                     try:
                         import matplotlib.pyplot as plt
@@ -511,9 +548,14 @@ def train_model(
                         )
                         val_mpjpe = val["mpjpe"]
                     if is_primary:
+                        from pose3d_tpu.train.checkpoint import (
+                            checkpoint_path,
+                        )
+
                         ckpt_path = save_checkpoint(
-                            f"{checkpoint_prefix}_{model_type}"
-                            f"_step_{global_step}",
+                            checkpoint_path(
+                                checkpoint_prefix, model_type, global_step
+                            ),
                             state, model_type, model_args,
                             extra_meta=_ckpt_meta(),
                         )
@@ -561,8 +603,10 @@ def train_model(
                 logger.exception("Failed to stop profiler trace")
         _flush_metrics()
         if global_step > last_ckpt_step and is_primary:
+            from pose3d_tpu.train.checkpoint import checkpoint_path
+
             save_checkpoint(
-                f"{checkpoint_prefix}_{model_type}_step_{global_step}",
+                checkpoint_path(checkpoint_prefix, model_type, global_step),
                 state, model_type, model_args, extra_meta=_ckpt_meta(),
             )
             if keep_checkpoints is not None:

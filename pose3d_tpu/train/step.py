@@ -83,6 +83,11 @@ def make_train_step(
     steps; pass A=1 for no accumulation) and metrics holds the batch-mean
     loss components (reference logging contract, src/train.py:124-139).
 
+    ``model`` (when given) supplies the apply function — a step built
+    with a reconfigured model (different attention backend, sharding
+    constraints, …) honors it; ``model=None`` falls back to
+    ``state.apply_fn``.
+
     ``accum_mode`` selects how the A microbatches are accumulated:
 
     * ``"ghost"`` — ghost-BatchNorm superbatch: ONE forward/
@@ -146,7 +151,7 @@ def make_train_step(
         raise ValueError(f"unknown accum_mode {accum_mode!r}")
 
     def scan_step(state, batch, rng):
-        apply_fn = state.apply_fn
+        apply_fn = model.apply if model is not None else state.apply_fn
         accum = batch["image"].shape[0]
 
         def body(carry, micro):
@@ -169,7 +174,7 @@ def make_train_step(
         return _apply_update(state, grads, batch_stats, comps_seq)
 
     def ghost_step(state, batch, rng):
-        apply_fn = state.apply_fn
+        apply_fn = model.apply if model is not None else state.apply_fn
         accum = batch["image"].shape[0]
 
         def mean_loss(params, bstats):
@@ -203,7 +208,7 @@ def make_train_step(
 
         from pose3d_tpu.train.ghost_bn import ghost_batchnorm_interceptor
 
-        apply_fn = state.apply_fn
+        apply_fn = model.apply if model is not None else state.apply_fn
         accum = batch["image"].shape[0]
         # Group-major flatten: sample a*B+b is microbatch a's b-th sample,
         # so BatchNorm group i inside the interceptor IS the i-th
@@ -324,7 +329,8 @@ def make_eval_step(model, weights: LossWeights = LossWeights(),
 
     def step(state, batch):
         batch = decompact_batch(batch)
-        out = state.apply_fn(
+        out = (model.apply if model is not None
+               else state.apply_fn)(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], batch["depth"], batch["keypoints_2d"],
             train=False,
