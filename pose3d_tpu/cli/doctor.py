@@ -76,11 +76,27 @@ def _native() -> Dict:
 def _install() -> Dict:
     import pose3d_tpu
 
-    scripts = ["pose3d-train", "pose3d-infer", "pose3d-eval",
-               "pose3d-convert", "pose3d-export", "pose3d-serve",
-               "pose3d-doctor"]
+    # Derive the expected console scripts from the installed metadata —
+    # a hand-maintained list drifts from pyproject [project.scripts]
+    # (it already had) and misses exactly the broken-install failures
+    # this check exists to catch.
+    try:
+        from importlib.metadata import entry_points
+
+        scripts = sorted(
+            ep.name for ep in entry_points(group="console_scripts")
+            if ep.value.startswith("pose3d_tpu.")
+        )
+    except Exception:
+        scripts = []
+    if not scripts:  # metadata unavailable (e.g. no dist-info at all)
+        scripts = ["pose3d-train", "pose3d-infer", "pose3d-eval",
+                   "pose3d-preprocess", "pose3d-chunker",
+                   "pose3d-rechunker", "pose3d-split", "pose3d-convert",
+                   "pose3d-export", "pose3d-serve", "pose3d-doctor"]
     return {
         "package_path": str(pose3d_tpu.__file__),
+        "console_scripts_expected": len(scripts),
         "console_scripts_missing": [
             s for s in scripts if shutil.which(s) is None
         ],

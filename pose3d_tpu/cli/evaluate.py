@@ -41,6 +41,11 @@ def build_parser():
     p.add_argument("--chunk-io", choices=["auto", "stream", "extract"],
                    default="auto",
                    help="Chunk archive access mode (see pose3d-train)")
+    p.add_argument("--model-type", choices=["cnn", "transformer"],
+                   default=None,
+                   help="Architecture hint for converting a BARE torch "
+                        "state_dict .pth (self-describing checkpoints "
+                        "ignore it)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--absolute-pose", action="store_true",
                    help="Evaluate absolute camera-space joints (DEP-P) "
@@ -86,7 +91,9 @@ def run(args) -> dict:
     from pose3d_tpu.cli.convert import ensure_framework_checkpoint
 
     # raw reference .pth checkpoints are converted on the fly
-    args.checkpoint = ensure_framework_checkpoint(args.checkpoint)
+    args.checkpoint = ensure_framework_checkpoint(
+        args.checkpoint, model_type=args.model_type
+    )
     meta = load_checkpoint_meta(args.checkpoint)
     model_type = meta.get("model_type", cfg.model_type)
     model_cfg = make_model_config(model_type, **meta.get("model_args", {}))

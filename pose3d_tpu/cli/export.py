@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema", action="store_true",
                    help="Export the checkpoint's EMA weights (recorded by "
                         "training with --ema-decay)")
+    p.add_argument("--model-type", choices=["cnn", "transformer"],
+                   default=None,
+                   help="Architecture hint for converting a BARE torch "
+                        "state_dict .pth (self-describing checkpoints "
+                        "ignore it)")
     p.add_argument("--quantize", type=str, default=None,
                    choices=["int8"],
                    help="weight-only per-channel int8 PTQ of the large "
@@ -74,7 +79,9 @@ def main(argv: Optional[List[str]] = None) -> str:
         restore_train_state,
     )
 
-    checkpoint = ensure_framework_checkpoint(args.checkpoint)
+    checkpoint = ensure_framework_checkpoint(
+        args.checkpoint, model_type=args.model_type
+    )
     meta = load_checkpoint_meta(checkpoint)
     cfg = GlobalConfig()
     model_type = meta.get("model_type", cfg.model_type)

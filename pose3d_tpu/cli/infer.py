@@ -249,8 +249,16 @@ def run(args):
         # ONE stage-1 dispatch for the whole CLI batch: keypoints and depth
         # each run as a single jitted batched call (JaxStage1.predict_batch)
         # instead of the reference's per-image triple dispatch
-        # (infer.py:424; SURVEY.md §3.2).
-        s1_list = provider.predict(paths, images=decoded)
+        # (infer.py:424; SURVEY.md §3.2). Batches are PADDED back up to B
+        # (repeat the first element, slice the results): every distinct
+        # batch size — the final remainder, or any batch shrunk by an
+        # unreadable image — would otherwise trigger a fresh ~40 s jit
+        # compile of the stage-1 and lifter programs on this platform.
+        real = len(paths)
+        pad = B - real
+        s1_list = provider.predict(
+            paths + [paths[0]] * pad, images=decoded + [decoded[0]] * pad
+        )[:real]
         raws, s1s, kept = [], [], []
         for f, rgb, s1 in zip(paths, decoded, s1_list):
             if s1 is None:
@@ -262,7 +270,10 @@ def run(args):
         if not kept:
             continue
 
-        preds = lift(raws, s1s)  # [b,J,3]
+        padk = B - len(kept)
+        preds = lift(
+            raws + [raws[0]] * padk, s1s + [s1s[0]] * padk
+        )[: len(kept)]  # [b,J,3]
 
         for f, raw, s1, joints in zip(kept, raws, s1s, preds):
             npy_path = out_dir / f"{f.stem}_pred_joints3d.npy"

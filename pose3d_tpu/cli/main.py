@@ -218,10 +218,15 @@ def main(argv=None):
     np.random.seed(cfg.random_seed)
     random.seed(cfg.random_seed)
 
-    batch_size = args.batch_size or cfg.batch_size
-    accum = args.grad_accum or cfg.gradient_accumulation_steps
-    eval_interval = args.eval_interval or cfg.eval_interval
-    lr = args.learning_rate or cfg.learning_rate
+    # `is not None`, not truthiness: an explicit 0 (e.g. --learning-rate 0
+    # for a frozen debugging pass) must not silently become the default.
+    def _or(v, default):
+        return v if v is not None else default
+
+    batch_size = _or(args.batch_size, cfg.batch_size)
+    accum = _or(args.grad_accum, cfg.gradient_accumulation_steps)
+    eval_interval = _or(args.eval_interval, cfg.eval_interval)
+    lr = _or(args.learning_rate, cfg.learning_rate)
 
     cache_dir = Path(args.cache_dir) if args.cache_dir else None
     if cache_dir:
@@ -341,6 +346,27 @@ def main(argv=None):
     )
     if args.checkpoint and Path(args.checkpoint).exists():
         state, _ = restore_train_state(state, args.checkpoint)
+        if args.ema_decay is not None:
+            from pose3d_tpu.train.checkpoint import checkpoint_has_ema
+
+            if not checkpoint_has_ema(args.checkpoint):
+                # EMA enabled on a pre-EMA checkpoint: the mirror was
+                # seeded from the RANDOM init by create_train_state and
+                # restore left it there — validation/best-tracking would
+                # run on noise-dominated averages for ~1/(1-decay)
+                # steps. Seed it from the restored weights instead.
+                logger.info(
+                    "Checkpoint has no EMA weights — seeding the EMA "
+                    "mirror from the restored parameters."
+                )
+                state = state.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        lambda x: x.copy(), state.params
+                    )
+                )
+        # (The inverse — resuming an EMA checkpoint without --ema-decay —
+        # is safe by construction: restore only fills ema_params when the
+        # state carries the slot, so new checkpoints won't claim EMA.)
     elif args.checkpoint:
         logger.warning("Checkpoint not found: %s, training from scratch.",
                        args.checkpoint)

@@ -77,7 +77,14 @@ def process_folder(folder: Path, out_dir: Path, provider, batch_size: int):
             kept.append(f)
         if not kept:
             continue
-        results = provider.predict_batch(rgbs)
+        # Pad ragged batches back to batch_size (repeat first, slice
+        # results): each distinct batch size would otherwise jit-compile
+        # a fresh stage-1 program (~40 s on this platform) — fatal for a
+        # 1M-image sweep with scattered unreadable files.
+        pad = batch_size - len(kept)
+        results = provider.predict_batch(
+            rgbs + [rgbs[0]] * pad
+        )[: len(kept)]
         for f, rgb, res in zip(kept, rgbs, results):
             h, w = rgb.shape[:2]
             depth_path, meta_path = _outputs_for(f, out_dir)

@@ -94,6 +94,8 @@ class MicroBatcher:
 
     def submit(self, image, depth, keypoints_2d) -> Future:
         """Enqueue a [b, ...] request; resolves to joints [b, J, 3]."""
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         arrays = (np.asarray(image, np.float32),
                   np.asarray(depth, np.float32),
                   np.asarray(keypoints_2d, np.float32))
@@ -108,6 +110,18 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=5)
+        # Fail anything still queued (behind the sentinel, or racing a
+        # submit) — otherwise their handler threads block on .result()
+        # for the full request timeout during shutdown.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(
+                    RuntimeError("server shut down before dispatch")
+                )
 
     def stats(self) -> dict:
         return {
@@ -296,8 +310,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         srv = self.server
         if self.path == "/healthz":
-            self._json(200 if srv.ready else 503,
-                       {"status": "ok" if srv.ready else "warming up"})
+            err = getattr(srv, "warmup_error", None)
+            if srv.ready:
+                payload = {"status": "ok"}
+            elif err:
+                payload = {"status": "failed", "error": err}
+            else:
+                payload = {"status": "warming up"}
+            self._json(200 if srv.ready else 503, payload)
         elif self.path == "/meta":
             self._json(200, {
                 "artifact": srv.artifact_meta,
@@ -323,10 +343,30 @@ class _Handler(BaseHTTPRequestHandler):
             if missing:
                 raise ValueError(f"missing npz keys: {missing}")
             args = [data[k] for k in INPUT_KEYS]
-            hw = tuple(args[0].shape[1:3])
+            # Validate EVERY array shape up front: a malformed request
+            # that reaches the batcher fails np.concatenate for the whole
+            # coalesced batch, 500-ing every concurrent well-formed
+            # request (cross-request poisoning, review finding).
+            img, depth, kpts = args
+            if img.ndim != 4 or img.shape[3] != 3:
+                raise ValueError(f"image must be [b,H,W,3], got {img.shape}")
+            b = img.shape[0]
+            if b < 1:
+                raise ValueError("batch size must be >= 1")
+            hw = tuple(img.shape[1:3])
             if hw != srv.image_hw:
                 raise ValueError(
                     f"image is {hw}, artifact expects {srv.image_hw}"
+                )
+            if depth.shape != (b,) + srv.image_hw + (1,):
+                raise ValueError(
+                    f"depth must be {(b,) + srv.image_hw + (1,)}, "
+                    f"got {depth.shape}"
+                )
+            if kpts.shape != (b, srv.num_joints, 2):
+                raise ValueError(
+                    f"keypoints_2d must be {(b, srv.num_joints, 2)}, "
+                    f"got {kpts.shape}"
                 )
         except Exception as e:
             self._json(400, {"error": str(e)})
@@ -414,13 +454,20 @@ def make_server(
         srv.artifact_meta = {}
     srv.ready = False
 
+    srv.warmup_error = None
+
     def warmup():
-        h, w = image_hw
-        batcher.submit(
-            np.zeros((1, h, w, 3), np.float32),
-            np.ones((1, h, w, 1), np.float32),
-            np.full((1, num_joints, 2), 0.5, np.float32),
-        ).result()
+        try:
+            h, w = image_hw
+            batcher.submit(
+                np.zeros((1, h, w, 3), np.float32),
+                np.ones((1, h, w, 1), np.float32),
+                np.full((1, num_joints, 2), 0.5, np.float32),
+            ).result()
+        except Exception as e:  # surface via /healthz, not a dead thread
+            srv.warmup_error = f"{type(e).__name__}: {e}"
+            logger.exception("warmup failed — server will stay unready")
+            return
         srv.ready = True
         logger.info("warmup done; serving on %s:%d", host, srv.server_port)
 
@@ -458,12 +505,18 @@ def make_pipeline_server(
     srv.pipeline = True
     srv.artifact_meta = {"mode": "pipeline", "checkpoint": str(checkpoint)}
     srv.ready = False
+    srv.warmup_error = None
 
     def warmup():
         h, w = image_hw
-        batcher.submit(
-            [np.zeros((h, w, 3), np.uint8)]
-        ).result()
+        try:
+            batcher.submit(
+                [np.zeros((h, w, 3), np.uint8)]
+            ).result()
+        except Exception as e:  # surface via /healthz, not a dead thread
+            srv.warmup_error = f"{type(e).__name__}: {e}"
+            logger.exception("warmup failed — server will stay unready")
+            return
         srv.ready = True
         logger.info("pipeline warmup done; serving on %s:%d",
                     host, srv.server_port)

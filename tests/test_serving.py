@@ -201,6 +201,43 @@ def test_http_rejects_bad_payload(server):
         assert "artifact expects" in e.read().decode()
 
 
+def test_http_rejects_malformed_shapes_before_batching(server):
+    """Wrong keypoint count / depth shape / empty batch must 400 at the
+    door — inside the batcher they would fail np.concatenate for the
+    whole coalesced batch and 500 every concurrent well-formed request
+    (review finding)."""
+    good = _inputs(np.random.default_rng(7), 1, hw=32)
+    cases = [
+        {"image": good[0], "depth": good[1],
+         "keypoints_2d": np.zeros((1, 13, 2), np.float32)},   # J=13
+        {"image": good[0], "depth": np.zeros((1, 8, 8, 1), np.float32),
+         "keypoints_2d": good[2]},                            # depth hw
+        {"image": good[0][:0], "depth": good[1][:0],
+         "keypoints_2d": good[2][:0]},                        # b=0
+        {"image": good[0][0], "depth": good[1],
+         "keypoints_2d": good[2]},                            # missing b dim
+    ]
+    for payload in cases:
+        buf = io.BytesIO()
+        np.savez(buf, **payload)
+        req = urllib.request.Request(
+            _url(server, "/predict"), data=buf.getvalue(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, f"expected HTTP 400 for {list(payload)}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, payload
+    # and a good request still works afterwards (no poisoned batcher)
+    buf = io.BytesIO()
+    np.savez(buf, image=good[0], depth=good[1], keypoints_2d=good[2])
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+
+
 # ---------------------------------------------------------------------------
 # Full-pipeline mode: encoded image -> stage 1 -> lifter -> joints
 # ---------------------------------------------------------------------------
