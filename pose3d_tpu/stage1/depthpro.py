@@ -247,6 +247,14 @@ def split_to_patches(x, patch_size: int, overlap_ratio: float):
     B, S, _, C = x.shape
     if S == patch_size:
         return x, 1
+    if S < patch_size:
+        # explicit, like HF's modeling_depth_pro.py:246-251 — otherwise
+        # this fails much later as an inscrutable empty jnp.stack
+        raise ValueError(
+            f"scaled image size {S} is smaller than patch_size "
+            f"{patch_size}: the DepthPro input_size is too small for the "
+            "scale pyramid (needs >= 4*patch_size at the full scale)"
+        )
     stride = int(patch_size * (1 - overlap_ratio))
     starts = list(range(0, S - patch_size + 1, stride))
     rows = []

@@ -134,14 +134,11 @@ def arch_from_state_dict(
     )
 
 
-def _fold(key: str):
-    out = []
-    for s in key.split("."):
-        if s.isdigit() and out:
-            out[-1] = out[-1] + "_" + s
-        else:
-            out.append(s)
-    return out
+from pose3d_tpu.stage1.port import (
+    fold_torch_path as _fold,
+    set_in_tree as _set,
+    validate_variables,
+)
 
 
 def _is_deconv(path) -> bool:
@@ -162,13 +159,6 @@ def _is_deconv(path) -> bool:
     if path[0] == "head" and path[-1] == "layers_1":
         return True
     return False
-
-
-def _set(tree: Dict, path, leaf: str, value):
-    node = tree
-    for p in path:
-        node = node.setdefault(p, {})
-    node[leaf] = value
 
 
 def map_depthpro_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
@@ -208,36 +198,9 @@ def map_depthpro_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
-def _tree_paths(tree, prefix=()):
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from _tree_paths(v, prefix + (k,))
-        else:
-            yield prefix + (k,), tuple(np.shape(v))
-
-
 def validate_against_model(model, variables, image_size: int) -> None:
-    import jax
-    import jax.numpy as jnp
-
-    ref = jax.eval_shape(
-        lambda: model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, image_size, image_size, 3), jnp.float32),
-        )
-    )
-    want = dict(_tree_paths(ref["params"]))
-    have = dict(_tree_paths(variables["params"]))
-    missing = sorted(set(want) - set(have))
-    extra = sorted(set(have) - set(want))
-    if missing or extra:
-        raise ValueError(
-            f"params tree mismatch: missing={missing[:8]} "
-            f"extra={extra[:8]} (of {len(missing)}/{len(extra)})"
-        )
-    bad = [(p, have[p], want[p]) for p in want if have[p] != want[p]]
-    if bad:
-        raise ValueError(f"param shape mismatches: {bad[:8]}")
+    """Shape-check via the shared helper (port.validate_variables)."""
+    validate_variables(model, variables, image_size)
 
 
 def load_depth_pro(path, dtype=None, image_size: int = 1536,

@@ -317,7 +317,12 @@ class NativeKeypointBackend:
         self.model = KeypointNet(num_joints=num_joints)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        self.variables = params or self.model.init(rng, dummy, train=False)
+        # jitted init: eager init compiles per-op — brutally slow on this
+        # host (CLAUDE.md; models/factory.py does the same)
+        self.variables = params or jax.jit(
+            lambda r, d: self.model.init(r, d, train=False)
+        )(rng, dummy)
+        self.variables = _commit_variables(self.variables, mesh)
 
         def fwd(v, x):
             return self.model.apply(v, x, train=False)[0]
@@ -344,6 +349,23 @@ def _data_parallel_jit(fwd, mesh):
     return jax.jit(fwd, in_shardings=(repl, sharded))
 
 
+def _commit_variables(variables, mesh):
+    """Commit checkpoint variables to device ONCE at construction. Left
+    as host numpy, jit would re-upload every leaf on every predict —
+    ~0.6-1 s per array through the remote-TPU tunnel for the 500-900
+    tensors of a ported checkpoint (CLAUDE.md: always bulk)."""
+    from pose3d_tpu.core.transfer import bulk_device_put
+
+    if mesh is None:
+        return bulk_device_put(variables)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # one bulk host→device transfer, then device-side replication to
+    # match _data_parallel_jit's pinned replicated in_sharding
+    staged = bulk_device_put(variables, device=mesh.devices.flat[0])
+    return jax.device_put(staged, NamedSharding(mesh, P()))
+
+
 class YoloKeypointBackend:
     """Ported ultralytics YOLO11-pose: letterbox → jitted forward+decode →
     best person → un-letterbox to original normalized coords (the full
@@ -356,13 +378,23 @@ class YoloKeypointBackend:
         self.input_size = input_size
         self.box_conf_threshold = box_conf_threshold
         self.model, self.variables = load_yolo11_pose(weights, dtype=dtype)
+        self.variables = _commit_variables(self.variables, mesh)
         self.num_joints = self.model.kpt_shape[0]
 
         from pose3d_tpu.stage1.yolo11 import best_person_keypoints
 
         def fwd(v, x):
             raw = self.model.apply(v, x, train=False)
-            return best_person_keypoints(raw, input_size)
+            kp, conf = best_person_keypoints(raw, input_size)
+            if kp.shape[-1] == 2:
+                # kpt_shape (J, 2) checkpoints carry no per-keypoint
+                # confidence — emit conf 1.0 so the (x, y, conf) output
+                # contract holds (yolo_port accepts such checkpoints;
+                # without this they crashed at predict time)
+                kp = jnp.concatenate(
+                    [kp, jnp.ones_like(kp[..., :1])], axis=-1
+                )
+            return kp, conf
 
         self._fwd = (_data_parallel_jit(fwd, mesh) if mesh is not None
                      else jax.jit(fwd))
@@ -409,7 +441,10 @@ class NativeDepthBackend:
         self.model = DepthNet()
         rng = rng if rng is not None else jax.random.PRNGKey(1)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        self.variables = params or self.model.init(rng, dummy, train=False)
+        self.variables = params or jax.jit(
+            lambda r, d: self.model.init(r, d, train=False)
+        )(rng, dummy)
+        self.variables = _commit_variables(self.variables, mesh)
 
         def fwd(v, x):
             return self.model.apply(v, x, train=False)
@@ -451,6 +486,7 @@ class DepthProBackend:
         self.model, self.variables = load_depth_pro(
             weights, dtype=dtype, image_size=input_size
         )
+        self.variables = _commit_variables(self.variables, mesh)
 
         def fwd(v, x):
             from pose3d_tpu.stage1.depthpro import fov_scaled_inverse_depth

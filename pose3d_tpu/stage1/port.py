@@ -30,26 +30,48 @@ logger = logging.getLogger("pose3d_tpu.port")
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint file into {name: numpy array}."""
+    """Load a torch checkpoint file into {name: fp32 numpy array}.
+
+    Tries ``weights_only=True`` first (same hardening as the yolo/depthpro
+    loaders): plain unpickling executes arbitrary bytecode from the file,
+    so the fallback is for TRUSTED sources only (prefer .safetensors)."""
     path = str(path)
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
-        return dict(load_file(path))
+        return {k: np.asarray(v, np.float32)
+                for k, v in load_file(path).items()}
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
-    if isinstance(obj, dict) and "model" in obj and hasattr(
-        obj["model"], "state_dict"
-    ):
-        obj = obj["model"].state_dict()
-    return {
-        k: v.detach().cpu().numpy()
-        for k, v in obj.items()
-        if hasattr(v, "detach")
-    }
+    def _extract(obj):
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        if isinstance(obj, dict) and "model" in obj and hasattr(
+            obj["model"], "state_dict"
+        ):
+            obj = obj["model"].state_dict()
+        return {
+            # .float(): fp16/bf16 checkpoints must not leak half-precision
+            # params into the model (repo invariant: fp32 params)
+            k: v.detach().float().cpu().numpy()
+            for k, v in obj.items()
+            if hasattr(v, "detach")
+        }
+
+    try:
+        sd = _extract(torch.load(path, map_location="cpu",
+                                 weights_only=True))
+        if sd:
+            return sd
+        logger.warning("no tensors under weights_only=True in %s", path)
+    except Exception:
+        logger.warning(
+            "%s is not loadable with weights_only=True; falling back to "
+            "unpickling (trusted-source file assumed — prefer "
+            ".safetensors)", path,
+        )
+    return _extract(torch.load(path, map_location="cpu",
+                               weights_only=False))
 
 
 def _interpolate_pos_embed(pos: np.ndarray, n_new: int) -> np.ndarray:
@@ -198,3 +220,64 @@ def merge_params(variables: Dict, sub_tree: Dict, *path: str) -> Dict:
     check(node[path[-1]], sub_tree, "/".join(path))
     node[path[-1]] = jax.tree_util.tree_map(np.asarray, sub_tree)
     return {**variables, "params": params}
+
+
+# -- shared torch→flax tree plumbing (used by yolo_port + depthpro_port;
+#    previously duplicated in both, review finding) ------------------------
+
+def fold_torch_path(key: str):
+    """torch module path → flax path segments: numeric segments join the
+    previous one with '_' (``model.23.cv3.0.0.0`` → ``model_23/cv3_0_0_0``)."""
+    out = []
+    for s in key.split("."):
+        if s.isdigit() and out:
+            out[-1] = out[-1] + "_" + s
+        else:
+            out.append(s)
+    return out
+
+
+def set_in_tree(tree: Dict, path, leaf_name: str, value):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+def tree_paths(tree, prefix=()):
+    """Yield ((path…), shape-tuple) for every leaf of a nested dict."""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from tree_paths(v, prefix + (k,))
+        else:
+            yield prefix + (k,), tuple(np.shape(v))
+
+
+def validate_variables(model, variables, input_size: int,
+                       columns=("params",), init_kwargs=None) -> None:
+    """Shape-check a ported variables tree against the model's own init
+    structure (via eval_shape — no FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    kw = init_kwargs or {}
+    ref = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+            **kw,
+        )
+    )
+    for col in columns:
+        want = dict(tree_paths(ref[col]))
+        have = dict(tree_paths(variables[col]))
+        missing = sorted(set(want) - set(have))
+        extra = sorted(set(have) - set(want))
+        if missing or extra:
+            raise ValueError(
+                f"{col} tree mismatch: missing={missing[:8]} "
+                f"extra={extra[:8]} (of {len(missing)}/{len(extra)})"
+            )
+        bad = [(p, have[p], want[p]) for p in want if have[p] != want[p]]
+        if bad:
+            raise ValueError(f"{col} shape mismatches: {bad[:8]}")

@@ -168,23 +168,12 @@ def infer_architecture(sd: Dict[str, np.ndarray]) -> Tuple[str, int, Tuple]:
     return scale, nc, kpt_shape
 
 
-def _fold(key: str):
-    """torch module path → flax path segments: numeric segments join the
-    previous one with '_' (``model.23.cv3.0.0.0`` → ``model_23/cv3_0_0_0``)."""
-    out = []
-    for s in key.split("."):
-        if s.isdigit() and out:
-            out[-1] = out[-1] + "_" + s
-        else:
-            out.append(s)
-    return out
-
-
-def _set(tree: Dict, path, leaf_name: str, value):
-    node = tree
-    for p in path:
-        node = node.setdefault(p, {})
-    node[leaf_name] = value
+from pose3d_tpu.stage1.port import (
+    fold_torch_path as _fold,
+    set_in_tree as _set,
+    tree_paths as _tree_paths,
+    validate_variables,
+)
 
 
 def map_yolo_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
@@ -232,42 +221,12 @@ def map_yolo_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": bstats}
 
 
-def _tree_paths(tree, prefix=()):
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from _tree_paths(v, prefix + (k,))
-        else:
-            yield prefix + (k,), np.shape(v)
-
-
 def validate_against_model(model, variables, input_size: int = 64) -> None:
     """Shape-check the mapped tree against the model's own init structure
-    (via eval_shape — no FLOPs)."""
-    import jax
-    import jax.numpy as jnp
-
-    ref = jax.eval_shape(
-        lambda: model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, input_size, input_size, 3), jnp.float32),
-            train=False,
-        )
-    )
-    for col in ("params", "batch_stats"):
-        want = dict(_tree_paths(ref[col]))
-        have = dict(_tree_paths(variables[col]))
-        missing = sorted(set(want) - set(have))
-        extra = sorted(set(have) - set(want))
-        if missing or extra:
-            raise ValueError(
-                f"{col} tree mismatch: missing={missing[:8]} "
-                f"extra={extra[:8]} (of {len(missing)}/{len(extra)})"
-            )
-        bad = [
-            (p, have[p], want[p]) for p in want if have[p] != tuple(want[p])
-        ]
-        if bad:
-            raise ValueError(f"{col} shape mismatches: {bad[:8]}")
+    (shared helper, port.validate_variables)."""
+    validate_variables(model, variables, input_size,
+                       columns=("params", "batch_stats"),
+                       init_kwargs={"train": False})
 
 
 def load_yolo11_pose(path, dtype=None, validate: bool = True):
