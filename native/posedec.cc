@@ -13,7 +13,12 @@
 //     RGB  f32 [0,1]
 //   pd_decode_png_gray_batch(blobs, sizes, n, out_h, out_w, out, threads, ok)
 //     GRAY f32 [0,1]
-// Both write [n, out_h, out_w, C] row-major into caller-allocated `out`
+//   pd_decode_jpeg_batch_u8 / pd_decode_png_gray_batch_u8
+//     same, but write uint8 0..255 (resize interpolation rounded to
+//     nearest) — the memory-lean pipeline mode: 1/4 the prefetch-queue
+//     footprint, and the /255 normalize moves on-device
+//     (train.step.decompact_batch).
+// All write [n, out_h, out_w, C] row-major into caller-allocated `out`
 // and return the number of successfully decoded images. `ok` (may be
 // NULL) receives a per-slot 1/0 success flag — the honest failure signal
 // (failures also leave zeros at their slot, but all-zero is a legal
@@ -47,9 +52,16 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Bilinear resize HWC uint8 -> float32 [0,1].
-void resize_bilinear_u8_to_f32(const uint8_t *src, int sh, int sw, int c,
-                               float *dst, int dh, int dw) {
+// Output conversion of one interpolated value (0..255 float domain).
+inline void store_px(float v, float *out) { *out = v * (1.0f / 255.0f); }
+inline void store_px(float v, uint8_t *out) {
+  *out = static_cast<uint8_t>(std::clamp(v + 0.5f, 0.0f, 255.0f));
+}
+
+// Bilinear resize HWC uint8 -> float32 [0,1] or uint8 0..255 (rounded).
+template <typename OutT>
+void resize_bilinear_u8(const uint8_t *src, int sh, int sw, int c,
+                        OutT *dst, int dh, int dw) {
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
   for (int y = 0; y < dh; ++y) {
@@ -69,18 +81,19 @@ void resize_bilinear_u8_to_f32(const uint8_t *src, int sh, int sw, int c,
       const uint8_t *p01 = src + (y0c * sw + x1c) * c;
       const uint8_t *p10 = src + (y1c * sw + x0c) * c;
       const uint8_t *p11 = src + (y1c * sw + x1c) * c;
-      float *out = dst + (y * dw + x) * c;
+      OutT *out = dst + (y * dw + x) * c;
       for (int ch = 0; ch < c; ++ch) {
         float top = p00[ch] * (1 - wx) + p01[ch] * wx;
         float bot = p10[ch] * (1 - wx) + p11[ch] * wx;
-        out[ch] = (top * (1 - wy) + bot * wy) * (1.0f / 255.0f);
+        store_px(top * (1 - wy) + bot * wy, out + ch);
       }
     }
   }
 }
 
+template <typename OutT>
 bool decode_jpeg_one(const uint8_t *blob, size_t size, int out_h, int out_w,
-                     float *out) {
+                     OutT *out) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -122,7 +135,7 @@ bool decode_jpeg_one(const uint8_t *blob, size_t size, int out_h, int out_w,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   if (c != 3) return false;
-  resize_bilinear_u8_to_f32(pixels.data(), h, w, 3, out, out_h, out_w);
+  resize_bilinear_u8(pixels.data(), h, w, 3, out, out_h, out_w);
   return true;
 }
 
@@ -142,8 +155,9 @@ void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
   s->offset += n;
 }
 
+template <typename OutT>
 bool decode_png_gray_one(const uint8_t *blob, size_t size, int out_h,
-                         int out_w, float *out) {
+                         int out_w, OutT *out) {
   if (size < 8 || png_sig_cmp(blob, 0, 8)) return false;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
@@ -179,14 +193,14 @@ bool decode_png_gray_one(const uint8_t *blob, size_t size, int out_h,
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
 
-  resize_bilinear_u8_to_f32(pixels.data(), static_cast<int>(h),
-                            static_cast<int>(w), 1, out, out_h, out_w);
+  resize_bilinear_u8(pixels.data(), static_cast<int>(h),
+                     static_cast<int>(w), 1, out, out_h, out_w);
   return true;
 }
 
-template <typename Fn>
+template <typename OutT, typename Fn>
 int run_batch(const uint8_t **blobs, const int64_t *sizes, int n, int out_h,
-              int out_w, int channels, float *out, Fn decode_one,
+              int out_w, int channels, OutT *out, Fn decode_one,
               int num_threads, uint8_t *ok_out) {
   std::atomic<int> next{0}, ok{0};
   const size_t stride = static_cast<size_t>(out_h) * out_w * channels;
@@ -194,13 +208,13 @@ int run_batch(const uint8_t **blobs, const int64_t *sizes, int n, int out_h,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      float *dst = out + static_cast<size_t>(i) * stride;
+      OutT *dst = out + static_cast<size_t>(i) * stride;
       bool good = decode_one(blobs[i], static_cast<size_t>(sizes[i]), out_h,
                              out_w, dst);
       if (good) {
         ok.fetch_add(1);
       } else {
-        std::memset(dst, 0, stride * sizeof(float));
+        std::memset(dst, 0, stride * sizeof(OutT));
       }
       if (ok_out) ok_out[i] = good ? 1 : 0;
     }
@@ -220,15 +234,29 @@ extern "C" {
 int pd_decode_jpeg_batch(const uint8_t **blobs, const int64_t *sizes, int n,
                          int out_h, int out_w, float *out, int num_threads,
                          uint8_t *ok_out) {
-  return run_batch(blobs, sizes, n, out_h, out_w, 3, out, decode_jpeg_one,
-                   num_threads, ok_out);
+  return run_batch(blobs, sizes, n, out_h, out_w, 3, out,
+                   decode_jpeg_one<float>, num_threads, ok_out);
 }
 
 int pd_decode_png_gray_batch(const uint8_t **blobs, const int64_t *sizes,
                              int n, int out_h, int out_w, float *out,
                              int num_threads, uint8_t *ok_out) {
-  return run_batch(blobs, sizes, n, out_h, out_w, 1, out, decode_png_gray_one,
-                   num_threads, ok_out);
+  return run_batch(blobs, sizes, n, out_h, out_w, 1, out,
+                   decode_png_gray_one<float>, num_threads, ok_out);
+}
+
+int pd_decode_jpeg_batch_u8(const uint8_t **blobs, const int64_t *sizes,
+                            int n, int out_h, int out_w, uint8_t *out,
+                            int num_threads, uint8_t *ok_out) {
+  return run_batch(blobs, sizes, n, out_h, out_w, 3, out,
+                   decode_jpeg_one<uint8_t>, num_threads, ok_out);
+}
+
+int pd_decode_png_gray_batch_u8(const uint8_t **blobs, const int64_t *sizes,
+                                int n, int out_h, int out_w, uint8_t *out,
+                                int num_threads, uint8_t *ok_out) {
+  return run_batch(blobs, sizes, n, out_h, out_w, 1, out,
+                   decode_png_gray_one<uint8_t>, num_threads, ok_out);
 }
 
 const char *pd_version() { return "posedec 0.1.0"; }

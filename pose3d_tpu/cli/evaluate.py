@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--chunk-io", choices=["auto", "stream", "extract"],
                    default="auto",
                    help="Chunk archive access mode (see pose3d-train)")
+    p.add_argument("--pixel-dtype", choices=["uint8", "float32"],
+                   default="uint8",
+                   help="Host-pipeline pixel representation "
+                        "(see pose3d-train)")
     p.add_argument("--model-type", choices=["cnn", "transformer"],
                    default=None,
                    help="Architecture hint for converting a BARE torch "
@@ -126,6 +130,7 @@ def run(args) -> dict:
         image_size=tuple(model_cfg.image_size), cache_dir=cache_dir,
         shuffle=False, shuffle_chunks=False,
         root_relative=not args.absolute_pose, chunk_io=args.chunk_io,
+        pixel_dtype=args.pixel_dtype,
     )
     val_loader = BatchLoader(val_ds, batch_size, drop_last=False)
 

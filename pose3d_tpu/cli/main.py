@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "extract-to-disk), 'extract' uses the cache-dir "
                         "extraction, 'auto' streams but reuses an existing "
                         "extracted copy")
+    p.add_argument("--pixel-dtype", choices=["uint8", "float32"],
+                   default="uint8",
+                   help="Host-pipeline pixel representation: 'uint8' "
+                        "(default) keeps decoded pixels in byte form all "
+                        "the way through the prefetch queue and the "
+                        "host->device transfer (4x less host memory and "
+                        "traffic; the [0,1]/metric decode runs on-device "
+                        "and a host augmentor converts per-sample); "
+                        "'float32' is the reference-shaped float decode")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Checkpoint path to load, or 'auto' to resume from "
                         "the newest checkpoint for this prefix/model-type "
@@ -409,6 +418,7 @@ def main(argv=None):
         ),
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
         shard_id=shard_id, num_shards=num_shards, chunk_io=args.chunk_io,
+        pixel_dtype=args.pixel_dtype,
     )
     train_ds.training = True
     if data_state:
@@ -427,7 +437,7 @@ def main(argv=None):
         "test", args.chunks_dir, chunk_indices=args.val_chunks,
         image_size=image_size, cache_dir=cache_dir,
         shuffle=True, shuffle_chunks=True, root_relative=root_relative,
-        chunk_io=args.chunk_io,
+        chunk_io=args.chunk_io, pixel_dtype=args.pixel_dtype,
     )
     train_loader = BatchLoader(train_ds, batch_size, loop=True)
     val_loader = BatchLoader(val_ds, batch_size, drop_last=False)

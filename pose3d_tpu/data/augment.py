@@ -163,6 +163,13 @@ class PoseAugmentor:
     # -- pipeline --------------------------------------------------------
 
     def __call__(self, sample: Dict) -> Dict:
+        # uint8-pixel samples (pixel_dtype="uint8" decode) enter the
+        # float convention here — geometric/color transforms below assume
+        # [0,1] images and metric depth. Per-sample conversion keeps the
+        # prefetch queue's 4× memory win upstream of augmentation.
+        from pose3d_tpu.data.collate import sample_pixels_to_float
+
+        sample = sample_pixels_to_float(sample)
         out = dict(sample)
         img = np.asarray(sample["image"], np.float32)
         depth = np.asarray(sample["depth"], np.float32)

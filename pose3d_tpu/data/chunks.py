@@ -383,6 +383,7 @@ def decode_chunk_samples(
     num_joints: int = 17,
     num_threads: int = 8,
     root_relative: bool = True,
+    pixel_dtype: str = "float32",
 ) -> List[Dict]:
     """Decode a whole chunk: metadata per sample (Python) + ONE native
     batched decode each for all JPEG and depth-PNG blobs (GIL-free C++;
@@ -392,9 +393,21 @@ def decode_chunk_samples(
 
     ``chunk_dir`` may be an extracted directory path or any chunk store
     (``open_chunk_store`` — in-memory streamed archives skip the disk
-    entirely)."""
+    entirely).
+
+    ``pixel_dtype="uint8"`` keeps pixels in their on-disk byte form:
+    ``image`` is uint8 0..255 and ``depth`` is the raw uint8 depth PNG
+    values (the stored per-sample ``depth_min``/``depth_max`` stay on the
+    record; the metric rescale — u8/255·(max−min)+min, the formula of
+    reference chunked_dataset.py:159-167 — runs on-device in
+    train.step.decompact_batch). 4× less prefetch-queue memory and zero
+    host float conversions; ``"float32"`` is the reference-shaped decode
+    (floats in [0,1] / metric depth)."""
     from pose3d_tpu.data import native
 
+    if pixel_dtype not in ("float32", "uint8"):
+        raise ValueError(f"unknown pixel_dtype {pixel_dtype!r}")
+    u8 = pixel_dtype == "uint8"
     store = _as_store(chunk_dir)
     metas, img_blobs, dep_blobs = [], [], []
     for src_index, sample in enumerate(samples):
@@ -416,16 +429,17 @@ def decode_chunk_samples(
 
     if not metas:
         return []
+    dt = np.uint8 if u8 else np.float32
     images, img_ok = native.decode_jpeg_batch(
-        img_blobs, image_size, num_threads
+        img_blobs, image_size, num_threads, dtype=dt
     )
-    depths01, dep_ok = native.decode_png_gray_batch(
-        dep_blobs, image_size, num_threads
+    depths, dep_ok = native.decode_png_gray_batch(
+        dep_blobs, image_size, num_threads, dtype=dt
     )
 
     out = []
-    for meta, img, d01, iok, dok in zip(
-        metas, images, depths01, img_ok, dep_ok
+    for meta, img, d, iok, dok in zip(
+        metas, images, depths, img_ok, dep_ok
     ):
         # Per-slot decoder flags are the failure signal — an all-black
         # frame is a legal image, and a corrupt depth PNG must drop the
@@ -436,10 +450,16 @@ def decode_chunk_samples(
         if not dok:
             logger.error("Undecodable depth for %s", meta["image_path"])
             continue
-        depth = d01 * (meta["depth_max"] - meta["depth_min"]) + meta["depth_min"]
         rec = dict(meta)
         rec["image"] = img
-        rec["depth"] = depth.astype(np.float32)
+        if u8:
+            rec["depth"] = d  # raw bytes; min/max ride the record
+        else:
+            depth = (
+                d * (meta["depth_max"] - meta["depth_min"])
+                + meta["depth_min"]
+            )
+            rec["depth"] = depth.astype(np.float32)
         out.append(rec)
     return out
 

@@ -34,6 +34,25 @@ def _pad_or_crop(arr: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
     return arr
 
 
+def sample_pixels_to_float(sample: Dict) -> Dict:
+    """Promote a uint8-pixel sample (decode_chunk_samples
+    pixel_dtype="uint8") to the float convention: image → [0,1] f32,
+    depth → metric f32 via the record's stored depth_min/depth_max
+    (reference chunked_dataset.py:159-167). Float samples pass through."""
+    out = dict(sample)
+    img = np.asarray(sample["image"])
+    if img.dtype == np.uint8:
+        out["image"] = img.astype(np.float32) / 255.0
+    depth = np.asarray(sample["depth"])
+    if depth.dtype == np.uint8:
+        dmin = float(sample.get("depth_min", 0.0))
+        dmax = float(sample.get("depth_max", 1.0))
+        out["depth"] = (
+            depth.astype(np.float32) / 255.0 * (dmax - dmin) + dmin
+        )
+    return out
+
+
 def collate_fixed(
     batch: List[Dict], image_size: Optional[Tuple[int, int]] = None
 ) -> Dict:
@@ -42,14 +61,30 @@ def collate_fixed(
     Returns the same key set as the reference collator
     (src/dataset/collator.py:46-59): stacked image/depth/keypoints_2d/
     joints_3d/image_size plus passthrough lists, and padding info.
+
+    Samples decoded with ``pixel_dtype="uint8"`` stay uint8 end-to-end:
+    the batch carries uint8 image/depth plus a ``depth_scale`` [B, 2]
+    column of the stored per-sample (min, max) — exactly the transfer
+    encoding of :func:`compact_batch`, so the on-device decode
+    (train.step.decompact_batch) needs no new case. Mixed-dtype batches
+    (e.g. a host augmentor converted some samples) are promoted to f32.
     """
     if image_size is None:
         image_size = batch[0]["image"].shape[:2]
+    img_u8 = all(np.asarray(s["image"]).dtype == np.uint8 for s in batch)
+    dep_u8 = all(np.asarray(s["depth"]).dtype == np.uint8 for s in batch)
+    if not (img_u8 and dep_u8):
+        batch = [sample_pixels_to_float(s) for s in batch]
+        img_u8 = dep_u8 = False
     images = np.stack([_pad_or_crop(s["image"], image_size) for s in batch])
     depths = np.stack([_pad_or_crop(s["depth"], image_size) for s in batch])
-    return {
-        "image": np.ascontiguousarray(images, np.float32),
-        "depth": np.ascontiguousarray(depths, np.float32),
+    out = {
+        "image": np.ascontiguousarray(
+            images, np.uint8 if img_u8 else np.float32
+        ),
+        "depth": np.ascontiguousarray(
+            depths, np.uint8 if dep_u8 else np.float32
+        ),
         "keypoints_2d": np.stack([s["keypoints_2d"] for s in batch]).astype(
             np.float32
         ),
@@ -62,6 +97,18 @@ def collate_fixed(
         "frame_idx": [s.get("frame_idx") for s in batch],
         "padding": [tuple(image_size)] * len(batch),
     }
+    if dep_u8:
+        out["depth_scale"] = np.array(
+            [
+                [
+                    float(s.get("depth_min", 0.0)),
+                    float(s.get("depth_max", 1.0)),
+                ]
+                for s in batch
+            ],
+            np.float32,
+        )
+    return out
 
 
 def device_batch(batch: Dict) -> Dict:

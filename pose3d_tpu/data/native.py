@@ -55,6 +55,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                         ctypes.POINTER(ctypes.c_uint8),
                     ]
+                try:  # uint8-output decode (absent in older builds)
+                    for name in ("pd_decode_jpeg_batch_u8",
+                                 "pd_decode_png_gray_batch_u8"):
+                        fn = getattr(lib, name)
+                        fn.restype = ctypes.c_int
+                        fn.argtypes = [
+                            ctypes.POINTER(ctypes.c_char_p),
+                            ctypes.POINTER(ctypes.c_int64),
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                            ctypes.POINTER(ctypes.c_uint8),
+                        ]
+                    lib._has_u8 = True
+                except AttributeError:
+                    lib._has_u8 = False
                 try:  # chunkio entry points (absent in pre-round-3 builds)
                     lib.pd_chunk_open.restype = ctypes.c_void_p
                     lib.pd_chunk_open.argtypes = [ctypes.c_char_p]
@@ -85,20 +100,23 @@ def native_available() -> bool:
 
 
 def _batch_call(fn_name: str, blobs: Sequence[bytes], out_hw, channels: int,
-                num_threads: int):
+                num_threads: int, out_dtype=np.float32):
     lib = get_lib()
     n = len(blobs)
     h, w = out_hw
-    out = np.zeros((n, h, w, channels), np.float32)
+    out = np.zeros((n, h, w, channels), out_dtype)
     flags = np.zeros((n,), np.uint8)
     arr = (ctypes.c_char_p * n)(*blobs)
     sizes = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
     fn = getattr(lib, fn_name)
+    out_ctype = (
+        ctypes.c_uint8 if out_dtype == np.uint8 else ctypes.c_float
+    )
     ok = fn(
         ctypes.cast(arr, ctypes.POINTER(ctypes.c_char_p)),
         ctypes.cast(sizes, ctypes.POINTER(ctypes.c_int64)),
         n, h, w,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(out_ctype)),
         num_threads,
         flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
@@ -107,12 +125,12 @@ def _batch_call(fn_name: str, blobs: Sequence[bytes], out_hw, channels: int,
     return out, flags.astype(bool)
 
 
-def _cv2_fallback(blobs, out_hw, gray: bool):
+def _cv2_fallback(blobs, out_hw, gray: bool, dtype=np.float32):
     import cv2
 
     h, w = out_hw
     c = 1 if gray else 3
-    out = np.zeros((len(blobs), h, w, c), np.float32)
+    out = np.zeros((len(blobs), h, w, c), dtype)
     flags = np.zeros((len(blobs),), bool)
     for i, b in enumerate(blobs):
         buf = np.frombuffer(b, np.uint8)
@@ -124,29 +142,53 @@ def _cv2_fallback(blobs, out_hw, gray: bool):
         if not gray:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
-        out[i] = (img.astype(np.float32) / 255.0).reshape(h, w, c)
+        if dtype == np.uint8:
+            out[i] = img.reshape(h, w, c)
+        else:
+            out[i] = (img.astype(np.float32) / 255.0).reshape(h, w, c)
         flags[i] = True
     return out, flags
 
 
+def _quantize(out_f32: np.ndarray) -> np.ndarray:
+    """f32 [0,1] → rounded uint8 (bridge for native builds without the
+    _u8 entry points — one extra pass, same result as the native round)."""
+    return np.clip(out_f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_batch(blobs: Sequence[bytes], out_hw,
-                      num_threads: int = 8):
-    """[N encoded JPEGs] → ([N, H, W, 3] float32 RGB in [0, 1],
-    [N] bool per-slot success flags)."""
+                      num_threads: int = 8, dtype=np.float32):
+    """[N encoded JPEGs] → ([N, H, W, 3] RGB, [N] bool per-slot success
+    flags). ``dtype=np.float32`` (default) yields [0, 1] floats;
+    ``np.uint8`` yields 0..255 bytes (the memory-lean pipeline mode)."""
+    u8 = np.dtype(dtype) == np.uint8
     if native_available():
-        return _batch_call("pd_decode_jpeg_batch", blobs, out_hw, 3,
-                           num_threads)
-    return _cv2_fallback(blobs, out_hw, gray=False)
+        lib = get_lib()
+        if u8 and getattr(lib, "_has_u8", False):
+            return _batch_call("pd_decode_jpeg_batch_u8", blobs, out_hw, 3,
+                               num_threads, np.uint8)
+        out, flags = _batch_call("pd_decode_jpeg_batch", blobs, out_hw, 3,
+                                 num_threads)
+        return (_quantize(out), flags) if u8 else (out, flags)
+    return _cv2_fallback(blobs, out_hw, gray=False,
+                         dtype=np.uint8 if u8 else np.float32)
 
 
 def decode_png_gray_batch(blobs: Sequence[bytes], out_hw,
-                          num_threads: int = 8):
-    """[N encoded PNGs] → ([N, H, W, 1] float32 gray in [0, 1],
-    [N] bool per-slot success flags)."""
+                          num_threads: int = 8, dtype=np.float32):
+    """[N encoded PNGs] → ([N, H, W, 1] gray, [N] bool per-slot success
+    flags). ``dtype`` as in :func:`decode_jpeg_batch`."""
+    u8 = np.dtype(dtype) == np.uint8
     if native_available():
-        return _batch_call("pd_decode_png_gray_batch", blobs, out_hw, 1,
-                           num_threads)
-    return _cv2_fallback(blobs, out_hw, gray=True)
+        lib = get_lib()
+        if u8 and getattr(lib, "_has_u8", False):
+            return _batch_call("pd_decode_png_gray_batch_u8", blobs, out_hw,
+                               1, num_threads, np.uint8)
+        out, flags = _batch_call("pd_decode_png_gray_batch", blobs, out_hw,
+                                 1, num_threads)
+        return (_quantize(out), flags) if u8 else (out, flags)
+    return _cv2_fallback(blobs, out_hw, gray=True,
+                         dtype=np.uint8 if u8 else np.float32)
 
 
 def chunkio_available() -> bool:

@@ -55,6 +55,7 @@ class ChunkPrefetcher:
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
         chunk_io: str = "auto",
+        pixel_dtype: str = "float32",
     ):
         self.chunk_files = [Path(f) for f in chunk_files]
         self.cache_dir = Path(cache_dir)
@@ -83,6 +84,10 @@ class ChunkPrefetcher:
         # is the reference's cache-dir extraction; "auto" streams but
         # reuses an existing extracted copy (chunks.open_chunk_store).
         self.chunk_io = chunk_io
+        # "uint8" keeps decoded pixels in byte form all the way to the
+        # device transfer (4× less queue memory; see
+        # chunks.decode_chunk_samples).
+        self.pixel_dtype = pixel_dtype
 
         # queue holds decoded GROUPS; scale capacity accordingly
         self.chunk_queue: "queue.Queue" = queue.Queue(
@@ -187,6 +192,7 @@ class ChunkPrefetcher:
                             samples[lo : lo + g], store, self.image_size,
                             num_threads=self.decode_workers,
                             root_relative=self.root_relative,
+                            pixel_dtype=self.pixel_dtype,
                         )
                         for rec in decoded:
                             rec["_raw_pos"] = (
@@ -262,6 +268,7 @@ class StreamingChunkedDataset:
         decode_workers: int = 8,
         root_relative: bool = True,
         chunk_io: str = "auto",
+        pixel_dtype: str = "float32",
     ):
         self.image_size = tuple(image_size)
         self.shuffle = shuffle
@@ -308,6 +315,7 @@ class StreamingChunkedDataset:
         self.decode_workers = decode_workers
         self.root_relative = root_relative
         self.chunk_io = chunk_io
+        self.pixel_dtype = pixel_dtype
         self._epoch = 0
         self.current_epoch = 0
         self.current_epoch_base = 0
@@ -360,6 +368,7 @@ class StreamingChunkedDataset:
             shuffle_seed=rng.randrange(2**31) if self.shuffle else None,
             skip_samples=skip,
             chunk_io=self.chunk_io,
+            pixel_dtype=self.pixel_dtype,
         )
         try:
             while True:

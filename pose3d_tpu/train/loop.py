@@ -123,9 +123,13 @@ def evaluate(eval_step, state, val_loader,
     action_totals: Dict[str, Dict[str, float]] = {}
     for batch in val_loader:
         bs = batch["image"].shape[0]
+        # depth_scale rides along for uint8-pixel batches (the on-device
+        # decode in the eval step needs it to rescale depth to metric).
         db = {
             k: batch[k]
-            for k in ("image", "depth", "keypoints_2d", "joints_3d")
+            for k in ("image", "depth", "keypoints_2d", "joints_3d",
+                      "depth_scale")
+            if k in batch
         }
         if pad_to is not None and bs < pad_to:
             db = {
@@ -473,7 +477,9 @@ def train_model(
                             ) from None
                     db = {
                         k: preview[k]
-                        for k in ("image", "depth", "keypoints_2d", "joints_3d")
+                        for k in ("image", "depth", "keypoints_2d",
+                                  "joints_3d", "depth_scale")
+                        if k in preview
                     }
                     # Pad a ragged final val batch to the loader's batch
                     # size (same recipe as evaluate()): an off-size batch
