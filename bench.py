@@ -31,6 +31,18 @@ surface in one record): the sequential-scan accumulation variant (the
 round-2 headline path, for continuity), batch 100×1, forward-only b10,
 the ViT-B train step (Pallas attention), and the stage-1 YOLO11x-pose /
 DepthPro full-topology sweeps.
+
+Deliverability (VERDICT.md round-3 item 1 — round 3's record was lost to
+a driver timeout, rc=124): the primary metric is printed, flushed, the
+moment it is measured; extras then run under an internal wall-clock
+budget (POSE3D_BENCH_BUDGET seconds, default 1200). Each extra has a
+cost estimate and is only STARTED if it fits the remaining budget —
+skipped extras record "SKIPPED (budget)" — so an external kill never
+lands mid-TPU-compile (the remote-wedge risk, CLAUDE.md). The full
+record is printed again as the final line; a driver that takes the last
+parseable JSON line gets the full record on success and the primary-only
+record on a timeout. The two heaviest programs (DepthPro 951 M @1536²,
+the two augmented train variants) are opt-in via POSE3D_BENCH_FULL=1.
 """
 
 from __future__ import annotations
@@ -204,8 +216,19 @@ def bench_depthpro(batch: int = 2, reps: int = 3) -> float:
     return batch * reps / (time.perf_counter() - t0)
 
 
+def _record(value: float, extra: dict) -> dict:
+    return {
+        "metric": "cnn_train_step_images_per_sec_eff_batch_100",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
+        "extra": extra,
+    }
+
+
 def main():
     import os
+    import sys
 
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
 
@@ -224,6 +247,10 @@ def main():
     except Exception:
         pass
 
+    budget = float(os.environ.get("POSE3D_BENCH_BUDGET", "1200"))
+    full = os.environ.get("POSE3D_BENCH_FULL", "") == "1"
+    t_start = time.perf_counter()
+
     from pose3d_tpu.core.config import CNNModelConfig
     from pose3d_tpu.models import init_model
 
@@ -231,46 +258,63 @@ def main():
     model, variables = init_model(cfg, batch_size=10)
 
     train_ref = bench_train(model, variables, accum=10, batch=10)
-    extra = {}
-    for name, fn in [
-        ("train_step_scan_10x10_images_per_sec",
-         lambda: bench_train(model, variables, accum=10, batch=10,
-                             accum_mode="scan", reps=3)),
-        ("train_step_ghost_10x10_images_per_sec",
+
+    # Flush the primary record NOW — if the driver's timeout lands during
+    # the extras, the last parseable stdout line is still a full record.
+    print(json.dumps(_record(train_ref, {"partial": True})), flush=True)
+
+    # (name, cost-estimate seconds, fn). Estimates are deliberately
+    # generous for this environment: each new XLA program costs ~40 s of
+    # remote compile plus the timed reps; DepthPro adds a 951 M-param init.
+    extras_plan = [
+        ("forward_b10_images_per_sec", 60,
+         lambda: bench_forward(model, variables, batch=10)),
+        ("train_step_b100x1_images_per_sec", 150,
+         lambda: bench_train(model, variables, accum=1, batch=100)),
+        ("train_step_ghost_10x10_images_per_sec", 150,
          lambda: bench_train(model, variables, accum=10, batch=10,
                              accum_mode="ghost")),
-        ("train_step_b100x1_images_per_sec",
-         lambda: bench_train(model, variables, accum=1, batch=100)),
-        ("train_step_augmented_images_per_sec",
-         lambda: bench_train_augmented(model, variables)),
-        ("train_step_augmented_rotation_images_per_sec",
-         lambda: bench_train_augmented(model, variables, rotation=True)),
-        ("forward_b10_images_per_sec",
-         lambda: bench_forward(model, variables, batch=10)),
-        ("vit_train_step_b8_ms", bench_vit_train),
-        ("yolo11x_pose_640_b8_images_per_sec", bench_yolo),
-        ("depthpro_1536_b2_images_per_sec", bench_depthpro),
-    ]:
+        ("train_step_scan_10x10_images_per_sec", 180,
+         lambda: bench_train(model, variables, accum=10, batch=10,
+                             accum_mode="scan", reps=3)),
+        ("vit_train_step_b8_ms", 240, bench_vit_train),
+        ("yolo11x_pose_640_b8_images_per_sec", 180, bench_yolo),
+    ]
+    if full:  # heaviest programs are opt-in (POSE3D_BENCH_FULL=1)
+        extras_plan += [
+            ("train_step_augmented_images_per_sec", 180,
+             lambda: bench_train_augmented(model, variables)),
+            ("train_step_augmented_rotation_images_per_sec", 200,
+             lambda: bench_train_augmented(model, variables, rotation=True)),
+            ("depthpro_1536_b2_images_per_sec", 420, bench_depthpro),
+        ]
+
+    extra = {}
+    for name, est, fn in extras_plan:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < est:
+            # Never START a program that can't finish inside the budget:
+            # an external kill mid-TPU-compile can wedge the remote chip
+            # for 30-75 min (CLAUDE.md).
+            extra[name] = "SKIPPED (budget)"
+            continue
         try:
             extra[name] = round(fn(), 2)
         except Exception as e:  # record, don't sink the primary metric
             extra[name] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
+    if not full:
+        extra["opt_in_note"] = (
+            "augmented-train + DepthPro@1536 extras require "
+            "POSE3D_BENCH_FULL=1 (round-3 numbers in README)"
+        )
     extra["baseline_basis"] = (
         "reference: 870k imgs/epoch at best 1 day/epoch "
         "= 10.07 img/s (BASELINE.md)"
     )
+    extra["elapsed_s"] = round(time.perf_counter() - t_start, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cnn_train_step_images_per_sec_eff_batch_100",
-                "value": round(train_ref, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(train_ref / BASELINE_IMGS_PER_SEC, 2),
-                "extra": extra,
-            }
-        )
-    )
+    sys.stdout.flush()
+    print(json.dumps(_record(train_ref, extra)), flush=True)
 
 
 if __name__ == "__main__":
