@@ -73,6 +73,18 @@ def collate_fixed(
         image_size = batch[0]["image"].shape[:2]
     img_u8 = all(np.asarray(s["image"]).dtype == np.uint8 for s in batch)
     dep_u8 = all(np.asarray(s["depth"]).dtype == np.uint8 for s in batch)
+    if (img_u8 and dep_u8) and any(
+        np.asarray(s["image"]).shape[:2] != tuple(image_size)
+        or np.asarray(s["depth"]).shape[:2] != tuple(image_size)
+        for s in batch
+    ):
+        # Off-size uint8 samples must NOT be zero-padded as bytes: byte 0
+        # in a scaled depth map decodes to per-sample depth_min, not the
+        # metric 0.0 the float path produces. Promote to float first so
+        # padding semantics match (currently unreachable from our own
+        # decoders, which always emit target-size u8 — this guards other
+        # producers).
+        img_u8 = dep_u8 = False
     if not (img_u8 and dep_u8):
         batch = [sample_pixels_to_float(s) for s in batch]
         img_u8 = dep_u8 = False

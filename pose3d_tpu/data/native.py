@@ -150,9 +150,24 @@ def _cv2_fallback(blobs, out_hw, gray: bool, dtype=np.float32):
     return out, flags
 
 
+_warned_u8_bridge = False
+
+
 def _quantize(out_f32: np.ndarray) -> np.ndarray:
     """f32 [0,1] → rounded uint8 (bridge for native builds without the
-    _u8 entry points — one extra pass, same result as the native round)."""
+    _u8 entry points — one extra pass, same result as the native round).
+
+    Warns once: this path allocates the full float32 batch first, so the
+    uint8 mode's 4× host-memory saving does not hold — a stale
+    libposedec.so (predating pd_decode_*_batch_u8) is the usual cause."""
+    global _warned_u8_bridge
+    if not _warned_u8_bridge:
+        _warned_u8_bridge = True
+        logger.warning(
+            "uint8 decode is using the f32-decode+quantize bridge "
+            "(native lib lacks the _u8 entry points — rebuild "
+            "libposedec.so to restore the 4x host-memory saving)"
+        )
     return np.clip(out_f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
