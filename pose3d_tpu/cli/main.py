@@ -165,6 +165,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention-backend", type=str, default="pallas",
                    choices=["pallas", "xla"],
                    help="Attention kernel for the transformer model")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize backbone blocks in the backward "
+                        "pass (both model types): lowers peak HBM at a "
+                        "throughput cost — the escape hatch when a "
+                        "composition of options pushes past the chip's "
+                        "memory (check with --memory-report)")
     p.add_argument("--accum-mode", type=str, default="grouped",
                    choices=["ghost", "grouped", "scan"],
                    help="Gradient accumulation: 'grouped' (default) "
@@ -300,6 +306,7 @@ def main(argv=None):
     model, variables = init_model(
         model_cfg, batch_size=batch_size,
         attention_backend=args.attention_backend,
+        **({"remat": True} if args.remat else {}),
     )
     if args.vit_weights:
         if model_type != "transformer":

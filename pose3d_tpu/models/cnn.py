@@ -587,10 +587,41 @@ class CNNPoseEstimation(nn.Module):
     config: CNNModelConfig
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Rematerialize backbone blocks in the backward pass (trade FLOPs for
+    # HBM). The full 10×10 grouped train step peaks at ~15.4 GB of the
+    # 16 GB chip (--memory-report); this is the escape hatch when a
+    # composition (device-aug + EMA + preview) pushes past it. Runtime
+    # knob, not architecture — NOT recorded in checkpoint model_args.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image, depth, keypoints_2d, *, train: bool = False):
         cfg = self.config
+        # train is arg index 2 of __call__ (self=0), static under remat.
+        # nn.remat renames the lifted class ("CheckpointInvertedResidual"),
+        # which would change param paths — so blocks get EXPLICIT names
+        # reproducing flax's auto-naming, keeping checkpoints loadable
+        # across remat settings (equivalence: tests/test_models remat).
+        if self.remat:
+            _IR = nn.remat(InvertedResidual, static_argnums=(2,))
+            _DP = nn.remat(DualPathBlock, static_argnums=(2,))
+            _WA = nn.remat(WASPModule, static_argnums=(2,))
+        else:
+            _IR, _DP, _WA = InvertedResidual, DualPathBlock, WASPModule
+        counts = {"ir": 0, "dp": 0}
+
+        def IRBlock(*a, **k):
+            k["name"] = f"InvertedResidual_{counts['ir']}"
+            counts["ir"] += 1
+            return _IR(*a, **k)
+
+        def DPBlock(*a, **k):
+            k["name"] = f"DualPathBlock_{counts['dp']}"
+            counts["dp"] += 1
+            return _DP(*a, **k)
+
+        def WASP(*a, **k):
+            return _WA(*a, **k, name="WASPModule_0")
         heatmaps = gaussian_heatmaps(
             keypoints_2d, cfg.heatmap_size, cfg.heatmap_sigma, dtype=self.dtype
         )
@@ -620,14 +651,14 @@ class CNNPoseEstimation(nn.Module):
             lead_att = "coord" if i >= 2 else "se"
 
             if i >= 2 and cfg.use_dual_path_blocks:
-                x = DualPathBlock(
+                x = DPBlock(
                     out_c, stride,
                     activation=cfg.activation, normalization=cfg.normalization,
                     residual_scale=cfg.residual_scale, attention_type=lead_att,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                 )(x, train)
             else:
-                x = InvertedResidual(
+                x = IRBlock(
                     out_c, stride, expand,
                     use_se=cfg.use_se_blocks, se_reduction=cfg.se_reduction,
                     activation=cfg.activation, normalization=cfg.normalization,
@@ -637,7 +668,7 @@ class CNNPoseEstimation(nn.Module):
 
             for j in range(1, depth_i):
                 if i >= 2 and cfg.use_dual_path_blocks and j % 2 == 0:
-                    x = DualPathBlock(
+                    x = DPBlock(
                         out_c, 1,
                         activation=cfg.activation,
                         normalization=cfg.normalization,
@@ -646,7 +677,7 @@ class CNNPoseEstimation(nn.Module):
                         dtype=self.dtype, param_dtype=self.param_dtype,
                     )(x, train)
                 else:
-                    x = InvertedResidual(
+                    x = IRBlock(
                         out_c, 1, expand,
                         use_se=cfg.use_se_blocks,
                         se_reduction=cfg.se_reduction,
@@ -658,7 +689,7 @@ class CNNPoseEstimation(nn.Module):
                     )(x, train)
 
         # WASP multi-scale context (reference cnn.py:592-598).
-        x = WASPModule(
+        x = WASP(
             cfg.stage_channels[-1],
             activation=cfg.activation, normalization=cfg.normalization,
             dtype=self.dtype, param_dtype=self.param_dtype,

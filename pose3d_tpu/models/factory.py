@@ -31,11 +31,12 @@ def build_model(config, *, attention_backend: str = "pallas",
     if isinstance(config, str):
         config = make_model_config(config)
     if isinstance(config, CNNModelConfig):
-        if model_kwargs:
+        if set(model_kwargs) - {"remat"}:
             raise ValueError(
                 f"unsupported CNN model kwargs: {sorted(model_kwargs)}"
             )
-        return CNNPoseEstimation(config, dtype=dtype, param_dtype=param_dtype)
+        return CNNPoseEstimation(config, dtype=dtype, param_dtype=param_dtype,
+                                 **model_kwargs)
     if isinstance(config, TransformerModelConfig):
         return TransformerPoseEstimation(
             config, attention_backend=attention_backend,
