@@ -45,10 +45,30 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict,
     }
     if getattr(state, "ema_params", None) is not None:
         tree["ema_params"] = state.ema_params
-    # One bulk device→host transfer; letting orbax fetch per-array costs
-    # ~1 s/array through a remote-TPU tunnel (225 arrays ≈ 4 min).
-    tree = bulk_device_get(tree)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    if jax.process_count() > 1:
+        # Multi-process: save_checkpoint is called on the PRIMARY process
+        # only (train loop gates on process_index()==0), so
+        #  * no jitted bulk pack — that would launch a global-mesh
+        #    computation from one process and deadlock the others; the
+        #    replicated state reads straight off the local replica, and
+        #  * orbax's save barrier must span only {0} — PyTreeCheckpointer's
+        #    default sync_global_processes waits on every process and
+        #    deadlocks against gated-out hosts (found by the real
+        #    2-process test, tests/test_distributed_2proc.py).
+        tree = jax.device_get(tree)
+        mpo = ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0}
+        )
+        ckptr_cm = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mpo),
+            multiprocessing_options=mpo,
+        )
+    else:
+        # One bulk device→host transfer; letting orbax fetch per-array
+        # costs ~1 s/array through a remote-TPU tunnel (225 arrays ≈ 4 min).
+        tree = bulk_device_get(tree)
+        ckptr_cm = ocp.PyTreeCheckpointer()
+    with ckptr_cm as ckptr:
         ckptr.save(path / "state", tree, force=True)
     meta = {
         # already on host from the bulk fetch — a separate device_get

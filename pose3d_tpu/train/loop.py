@@ -75,13 +75,32 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def put(b):
-            return {
-                k: v if k.startswith("_") else jax.device_put(
-                    v, NamedSharding(mesh, P(*([None, "data"] + [None] * (v.ndim - 2))))
-                )
-                for k, v in b.items()
-            }
+        def _sh(v):
+            return NamedSharding(
+                mesh, P(*([None, "data"] + [None] * (v.ndim - 2)))
+            )
+
+        if jax.process_count() > 1:
+            # Multi-host: each process feeds its OWN (host-sharded, hence
+            # different) local batch. jax.device_put with a global sharding
+            # asserts value-equality across processes — the correct
+            # assembly is make_array_from_process_local_data, which treats
+            # each host's batch as that host's shard of a global batch of
+            # size per_host_batch x process_count (found by the real
+            # 2-process test, tests/test_distributed_2proc.py).
+            def put(b):
+                return {
+                    k: v if k.startswith("_")
+                    else jax.make_array_from_process_local_data(_sh(v), v)
+                    for k, v in b.items()
+                }
+        else:
+            def put(b):
+                return {
+                    k: v if k.startswith("_")
+                    else jax.device_put(v, _sh(v))
+                    for k, v in b.items()
+                }
     else:
         def put(b):
             host = {k: v for k, v in b.items() if k.startswith("_")}
@@ -99,9 +118,34 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
         yield buf.popleft()
 
 
+def _global_val_batch(db, mesh):
+    """Lift a host-local validation batch onto the global mesh.
+
+    Validation is REPLICATED by contract (every process feeds the
+    identical stream, cli/main.py), but under multi-process jit refuses
+    to auto-shard host numpy inputs against the eval step's P("data")
+    in_sharding. Every host holds the full batch, so each can serve any
+    index — make_array_from_callback assembles the same global batch a
+    single process would get (found by the real 2-process test,
+    tests/test_distributed_2proc.py). Single-process: no-op (jit's own
+    auto-put is fine and cheaper)."""
+    if mesh is None or jax.process_count() == 1:
+        return db
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in db.items():
+        arr = np.asarray(v)
+        sh = NamedSharding(mesh, P("data"))
+        out[k] = jax.make_array_from_callback(
+            arr.shape, sh, lambda idx, a=arr: a[idx]
+        )
+    return out
+
+
 def evaluate(eval_step, state, val_loader,
              pad_to: Optional[int] = None,
-             per_action: bool = False) -> Dict[str, float]:
+             per_action: bool = False, mesh=None) -> Dict[str, float]:
     """Full validation pass: sample-weighted averages of loss components,
     MPJPE and PA-MPJPE (reference src/train.py:203-277).
 
@@ -138,7 +182,7 @@ def evaluate(eval_step, state, val_loader,
                 )
                 for k, v in db.items()
             }
-        metrics, _ = eval_step(state, db)
+        metrics, _ = eval_step(state, _global_val_batch(db, mesh))
         metrics = {k: np.asarray(v) for k, v in jax.device_get(metrics).items()}
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v[:bs].sum())
@@ -365,6 +409,16 @@ def train_model(
         last = {
             k: float(vals[-1, j]) for j, k in enumerate(metric_keys)
         }
+        # Console progress (the reference logs each step's loss to the
+        # terminal, train.py:124-139; TB-only metrics left a silent CLI).
+        # First window includes jit/layout compiles — no rate reported.
+        rate = (
+            f", {pending_images / dt:.1f} img/s" if flushes > 1 else ""
+        )
+        logger.info(
+            "Step %d: loss %.4f%s", pending_steps[-1],
+            last.get("total_loss", float("nan")), rate,
+        )
         pending_steps.clear()
         pending_metrics.clear()
         pending_images = 0
@@ -494,7 +548,9 @@ def train_model(
                             )
                             for k, v in db.items()
                         }
-                    _, preds = eval_step(eval_view(state), db)
+                    _, preds = eval_step(
+                        eval_view(state), _global_val_batch(db, mesh)
+                    )
                     preds = np.asarray(jax.device_get(preds))
                     try:
                         import matplotlib.pyplot as plt
@@ -526,6 +582,7 @@ def train_model(
                         val = evaluate(
                             eval_step, eval_view(state), val_loader,
                             pad_to=getattr(val_loader, "batch_size", None),
+                            mesh=mesh,
                         )
                         # evaluate() raises on an empty loader, so val is
                         # always populated here

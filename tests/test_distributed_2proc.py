@@ -1,0 +1,114 @@
+"""Real 2-process `jax.distributed` integration test (VERDICT r3 item 2).
+
+Spawns two OS processes that form an actual jax.distributed cluster on
+the CPU backend (coordinator on localhost, 4 virtual devices each ->
+global 8-device mesh) and drive the real multi-host code paths:
+
+  * core.mesh.initialize_distributed / host_shard_info (no monkeypatching)
+  * 2 optimizer steps of the tiny CNN through train_loop.train_model on
+    the GLOBAL mesh (cross-host gradient psum via GSPMD)
+  * replicated validation at step 2 (every host issues identical eval
+    calls — the deadlock-avoidance contract argued in cli/main.py)
+  * checkpoint writes gated on process 0
+  * per-host chunk-shard selection partitions the chunk list exactly
+
+Replaces the fake-process coverage in test_multihost_hygiene.py as the
+primary evidence (that file keeps the cheap unit-level checks).
+Skips if the coordinator port cannot be bound or workers cannot start.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    try:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+    finally:
+        s.close()
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train(tmp_path):
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover - environment-specific
+        pytest.skip(f"cannot bind a localhost port: {e}")
+    coordinator = f"127.0.0.1:{port}"
+    worker = Path(__file__).with_name("distributed_worker.py")
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    # keep each worker lean on the 1-vCPU host
+    env.setdefault("OMP_NUM_THREADS", "1")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, "2", str(i),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed worker timed out (600s)")
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out[-2000:]}\n" \
+                        f"stderr:{err[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line in worker stdout:\n{out[-2000:]}"
+        r = json.loads(line[-1][len("RESULT "):])
+        results[r["process_id"]] = r
+
+    assert set(results) == {0, 1}
+    r0, r1 = results[0], results[1]
+
+    # real process topology, not monkeypatched
+    assert (r0["shard_id"], r0["num_shards"]) == (0, 2)
+    assert (r1["shard_id"], r1["num_shards"]) == (1, 2)
+
+    # chunk shards partition the chunk list exactly: disjoint, complete
+    c0, c1 = set(r0["my_chunks"]), set(r1["my_chunks"])
+    assert c0.isdisjoint(c1)
+    assert len(c0 | c1) == 6
+    assert len(c0) == len(c1) == 3
+
+    # both ran the same 2 global steps; data-parallel psum leaves params
+    # bit-identical on every host
+    assert r0["last_step"] == r1["last_step"] == 2
+    assert r0["checksum"] == r1["checksum"]
+
+    # checkpoint written by process 0 ONLY (each process has its own dir,
+    # so a broken gate would show up as files under p1/)
+    ckpts0 = sorted((tmp_path / "p0").glob("ck_cnn_step_*"))
+    ckpts1 = sorted((tmp_path / "p1").glob("ck_cnn_step_*"))
+    assert ckpts0, "process 0 wrote no checkpoint"
+    assert not ckpts1, f"process 1 wrote checkpoints: {ckpts1}"
+    meta = json.loads((ckpts0[-1] / "meta.json").read_text())
+    assert meta["step"] == 2
