@@ -139,7 +139,7 @@ def run(args) -> dict:
         model, mesh=mesh, compat_pa=args.compat_pa_metric, per_sample=True,
     )
     metrics = evaluate(eval_step, state, val_loader, pad_to=batch_size,
-                       per_action=args.per_action)
+                       per_action=args.per_action, mesh=mesh)
     per_action = metrics.pop("per_action", None)
     metrics = {k: float(v) for k, v in metrics.items()}
     metrics["checkpoint_step"] = step

@@ -28,6 +28,30 @@ def checkpoint_path(prefix: str, model_type: str, step: int) -> Path:
     return Path(f"{prefix}_{model_type}_step_{step}")
 
 
+def _all_fully_replicated(tree) -> bool:
+    """True when every jax.Array leaf is fully replicated (any host can
+    read the whole state locally). False for FSDP/TP-sharded states, where
+    checkpointing must be collective across processes."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_replicated:
+            return False
+    return True
+
+
+def state_needs_collective_checkpoint(state) -> bool:
+    """Whether saving ``state`` requires EVERY process to call
+    save_checkpoint (sharded FSDP/TP state on a multi-process runtime) —
+    the train loop uses this to widen its process-0 checkpoint gate.
+    Evaluates the same tree save_checkpoint serializes, so the two
+    predicates can never disagree."""
+    if jax.process_count() == 1:
+        return False
+    tree = [state.step, state.params, state.batch_stats, state.opt_state]
+    if getattr(state, "ema_params", None) is not None:
+        tree.append(state.ema_params)
+    return not _all_fully_replicated(tree)
+
+
 def save_checkpoint(path, state, model_type: str, model_args: Dict,
                     extra_meta: Dict = None) -> Path:
     """Save state + architecture metadata. ``state`` is a TrainState or any
@@ -45,9 +69,17 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict,
     }
     if getattr(state, "ema_params", None) is not None:
         tree["ema_params"] = state.ema_params
-    if jax.process_count() > 1:
-        # Multi-process: save_checkpoint is called on the PRIMARY process
-        # only (train loop gates on process_index()==0), so
+    if jax.process_count() > 1 and not _all_fully_replicated(tree):
+        # Sharded state (FSDP/ZeRO-3 on a pod): no single host holds the
+        # full arrays, so checkpointing is COLLECTIVE — every process
+        # calls save_checkpoint (the train loop arranges this) and the
+        # jax.Array leaves go straight to orbax, whose array handler has
+        # each host write exactly its addressable shards (requires a
+        # filesystem shared across hosts, the standard orbax contract).
+        ckptr_cm = ocp.PyTreeCheckpointer()
+    elif jax.process_count() > 1:
+        # Replicated state: save_checkpoint is called on the PRIMARY
+        # process only (train loop gates on process_index()==0), so
         #  * no jitted bulk pack — that would launch a global-mesh
         #    computation from one process and deadlock the others; the
         #    replicated state reads straight off the local replica, and
@@ -70,17 +102,19 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict,
         ckptr_cm = ocp.PyTreeCheckpointer()
     with ckptr_cm as ckptr:
         ckptr.save(path / "state", tree, force=True)
-    meta = {
-        # already on host from the bulk fetch — a separate device_get
-        # costs ~1 s per array through the remote-TPU tunnel
-        "step": int(tree["step"]),
-        "model_type": model_type,
-        "model_args": model_args,
-        "format": "pose3d_tpu/v1",
-        **(extra_meta or {}),
-    }
-    with open(path / "meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    if jax.process_index() == 0:
+        meta = {
+            # already on host from the bulk fetch — a separate device_get
+            # costs ~1 s per array through the remote-TPU tunnel (step is
+            # replicated even in sharded states, so int() is local)
+            "step": int(jax.device_get(tree["step"])),
+            "model_type": model_type,
+            "model_args": model_args,
+            "format": "pose3d_tpu/v1",
+            **(extra_meta or {}),
+        }
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
     logger.info("Saved checkpoint to %s", path)
     return path
 

@@ -296,6 +296,9 @@ def train_model(
     # Multi-host hygiene: only process 0 writes checkpoints (cli/main.py
     # already routes non-primary hosts to a NullWriter) — on a pod every
     # process would otherwise save into the same directory concurrently.
+    # Exception: an FSDP-sharded state has no host holding the full
+    # arrays, so its checkpoint save is COLLECTIVE (every process calls
+    # save_checkpoint; orbax has each host write its addressable shards).
     is_primary = jax.process_index() == 0
 
     if param_sharding == "fsdp" and mesh is not None:
@@ -319,6 +322,13 @@ def train_model(
         train_step = make_train_step(model, loss_weights, mesh=mesh,
                                      accum_mode=accum_mode, augment=augment,
                                      ema_decay=ema_decay)
+    # Sharded (FSDP) state on a multi-process runtime: checkpoint saves are
+    # collective (every process writes its shards) — computed AFTER the
+    # sharding above so it reflects the state actually being saved.
+    from pose3d_tpu.train.checkpoint import state_needs_collective_checkpoint
+
+    saves_ckpt = is_primary or state_needs_collective_checkpoint(state)
+
     # Validation/preview/best-tracking run on the EMA weights when enabled.
     from pose3d_tpu.train.state import with_ema_params
 
@@ -610,7 +620,7 @@ def train_model(
                             val["mpjpe"], val["pa_mpjpe"],
                         )
                         val_mpjpe = val["mpjpe"]
-                    if is_primary:
+                    if saves_ckpt:
                         from pose3d_tpu.train.checkpoint import (
                             checkpoint_path,
                         )
@@ -622,14 +632,14 @@ def train_model(
                             state, model_type, model_args,
                             extra_meta=_ckpt_meta(),
                         )
-                        if val_mpjpe is not None:
+                        if val_mpjpe is not None and is_primary:
                             from pose3d_tpu.train.checkpoint import record_best
 
                             record_best(
                                 checkpoint_prefix, model_type,
                                 global_step, val_mpjpe, ckpt_path,
                             )
-                        if keep_checkpoints is not None:
+                        if keep_checkpoints is not None and is_primary:
                             from pose3d_tpu.train.checkpoint import (
                                 apply_retention,
                             )
@@ -665,14 +675,14 @@ def train_model(
             except Exception:
                 logger.exception("Failed to stop profiler trace")
         _flush_metrics()
-        if global_step > last_ckpt_step and is_primary:
+        if global_step > last_ckpt_step and saves_ckpt:
             from pose3d_tpu.train.checkpoint import checkpoint_path
 
             save_checkpoint(
                 checkpoint_path(checkpoint_prefix, model_type, global_step),
                 state, model_type, model_args, extra_meta=_ckpt_meta(),
             )
-            if keep_checkpoints is not None:
+            if keep_checkpoints is not None and is_primary:
                 from pose3d_tpu.train.checkpoint import apply_retention
 
                 apply_retention(

@@ -54,10 +54,13 @@ def main():
     from pose3d_tpu.train import create_train_state
     from pose3d_tpu.train import loop as train_loop
 
+    # global_feature_dim=64 gives the pooled-feature dense a 128x64 kernel
+    # (8192 elements = parallel/fsdp.DEFAULT_MIN_SIZE, 128 divisible by the
+    # 8-device axis) so the FSDP leg below actually shards something.
     tiny = CNNModelConfig(
         image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
         stage_channels=(8, 16, 32), stage_depths=(1, 1, 1),
-        initial_channels=8, global_pool_size=2, global_feature_dim=16,
+        initial_channels=8, global_pool_size=2, global_feature_dim=64,
         regression_dims=(16,),
     )
     model, variables = init_model(tiny, batch_size=8)
@@ -131,6 +134,49 @@ def main():
         sum(np.float64(np.asarray(l, np.float32).sum()) for l in leaves)
     )
 
+    # --- FSDP leg: sharded state, COLLECTIVE checkpoint, exact restore --
+    # No host holds the full FSDP state, so save_checkpoint must be called
+    # by EVERY process (train_model widens its process-0 gate via
+    # state_needs_collective_checkpoint) and orbax writes each host's
+    # shards into a SHARED directory.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pose3d_tpu.train.checkpoint import load_checkpoint
+
+    shared = os.path.join(workdir, "shared")
+    os.makedirs(shared, exist_ok=True)
+    _, variables_f = init_model(tiny, batch_size=8)
+    state_f = create_train_state(model, variables_f)
+    state_f, _ = train_loop.train_model(
+        state_f, "cnn", loader(2, seed=11), None, model=model, mesh=mesh,
+        gradient_accumulation_steps=1, num_steps=2,
+        checkpoint_prefix=os.path.join(shared, "fck"),
+        eval_interval_steps=2, log_interval_steps=1,
+        param_sharding="fsdp",
+    )
+    assert any(
+        isinstance(l, jax.Array) and not l.is_fully_replicated
+        for l in jax.tree_util.tree_leaves(state_f.params)
+    ), "FSDP leg sharded nothing — collective checkpoint not exercised"
+
+    # Gather the live params to every host (replicated out_shardings),
+    # then compare bit-for-bit against the restored checkpoint.
+    repl = NamedSharding(mesh, P())
+    gathered = jax.jit(
+        lambda p: p,
+        out_shardings=jax.tree_util.tree_map(lambda _: repl, state_f.params),
+    )(state_f.params)
+    full_params = jax.device_get(gathered)
+    tree_r, meta_r = load_checkpoint(os.path.join(shared, "fck_cnn_step_2"))
+    la = jax.tree_util.tree_leaves(full_params)
+    lb = jax.tree_util.tree_leaves(tree_r["params"])
+    assert len(la) == len(lb), (len(la), len(lb))
+    fsdp_exact = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(la, lb)
+    )
+    assert meta_r["step"] == 2, meta_r
+
     print(
         "RESULT "
         + json.dumps(
@@ -141,6 +187,7 @@ def main():
                 "my_chunks": my_chunks,
                 "last_step": last_step,
                 "checksum": checksum,
+                "fsdp_ckpt_exact": bool(fsdp_exact),
             }
         ),
         flush=True,

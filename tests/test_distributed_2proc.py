@@ -104,6 +104,12 @@ def test_two_process_distributed_train(tmp_path):
     assert r0["last_step"] == r1["last_step"] == 2
     assert r0["checksum"] == r1["checksum"]
 
+    # FSDP leg: the collectively-written sharded checkpoint restored
+    # bit-exactly against the gathered live params on BOTH hosts
+    assert r0["fsdp_ckpt_exact"] and r1["fsdp_ckpt_exact"]
+    fsdp_ck = tmp_path / "shared" / "fck_cnn_step_2"
+    assert (fsdp_ck / "meta.json").exists()
+
     # checkpoint written by process 0 ONLY (each process has its own dir,
     # so a broken gate would show up as files under p1/)
     ckpts0 = sorted((tmp_path / "p0").glob("ck_cnn_step_*"))
