@@ -96,6 +96,7 @@ def test_structure_matches_model_init():
             assert tuple(e.shape) == tuple(np.shape(p))
 
 
+@pytest.mark.slow
 def test_convert_cli_end_to_end(tmp_path):
     """reference .pth → converter CLI → our checkpoint → our infer path."""
     torch.manual_seed(2)

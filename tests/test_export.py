@@ -3,6 +3,7 @@ deserialize → call) and match the live model exactly; the CLI exports a
 checkpoint end-to-end. Reference has no serving path at all — deployment
 there means running the training repo (reference infer.py)."""
 
+import pytest
 import json
 
 import jax
@@ -66,6 +67,7 @@ def test_export_static_batch_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, np.asarray(jit_src(img, dep, kp)))
 
 
+@pytest.mark.slow
 def test_export_dynamic_batch_serves_any_size(tmp_path):
     model, variables = init_model(TINY_CNN, batch_size=2)
     exp = export_lifter(model, variables, (32, 32), batch_size=None)
@@ -81,6 +83,7 @@ def test_export_dynamic_batch_serves_any_size(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_transformer(tmp_path):
     model, variables = init_model(
         TINY_VIT, batch_size=2, attention_backend="xla"

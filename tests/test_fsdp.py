@@ -5,6 +5,7 @@ updated state coming back still sharded (no silent gather-to-replicated).
 The reference has no distributed training at all (SURVEY.md §2.2); this is
 the TPU-native memory-scaling mode on top of the same train step."""
 
+import pytest
 import jax
 import numpy as np
 from jax.sharding import PartitionSpec as P
@@ -47,6 +48,7 @@ def _batch(rng, a, b, hw=32):
     }
 
 
+@pytest.mark.slow
 def test_fsdp_specs_shard_large_params_only():
     model, variables = init_model(TINY_CNN, batch_size=1)
     specs = fsdp_param_spec(variables["params"], axis_size=8, min_size=512)
@@ -92,6 +94,7 @@ def test_fsdp_respects_tp_base_specs():
     assert blk["LayerNorm_0"]["scale"] == P()
 
 
+@pytest.mark.slow
 def test_fsdp_train_step_matches_replicated():
     mesh = make_mesh((8,), ("data",))
     model, variables = init_model(TINY_CNN, batch_size=8)

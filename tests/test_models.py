@@ -45,6 +45,7 @@ def test_cnn_forward_shapes(cnn):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_cnn_train_mode_mutates_batch_stats(cnn):
     model, variables = cnn
     imgs, depths, kpts = dummy_inputs(TINY_CNN, 2)
@@ -159,6 +160,7 @@ def test_config_validation_clear_errors():
         TransformerModelConfig(num_joints=14)
 
 
+@pytest.mark.slow
 def test_cnn_remat_equivalence(cnn):
     """--remat (backbone-block rematerialization, the HBM escape hatch —
     VERDICT r3 item 5): param tree is IDENTICAL to the un-rematted model

@@ -129,6 +129,7 @@ def test_batch_positions_cumulative_after_resume(chunks, tmp_path):
     assert positions[-1] == (0, 24)
 
 
+@pytest.mark.slow
 def test_train_resume_bitwise_equivalence(tmp_path):
     """Interrupt-and-resume must reproduce the uninterrupted run exactly:
     restore checkpoint at step 3 (data position in meta.json), fast-forward

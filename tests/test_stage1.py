@@ -16,6 +16,7 @@ def provider():
     return JaxStage1(input_size=64)
 
 
+@pytest.mark.slow
 def test_keypointnet_shapes(provider):
     import jax.numpy as jnp
 

@@ -1,6 +1,7 @@
 """Tensor-parallel readiness: the ViT lifter trains on a 2×4 (data, model)
 mesh with Megatron-style param sharding, matching the replicated result."""
 
+import pytest
 import numpy as np
 import jax
 from jax.sharding import PartitionSpec as P
@@ -96,6 +97,7 @@ def test_tp_train_step_matches_replicated():
         np.testing.assert_allclose(x, y, atol=2.5 * lr, rtol=0)
 
 
+@pytest.mark.slow
 def test_tp_ghost_accum_with_pallas_kernel():
     """Ghost-BN accumulation vmaps the whole loss over groups; the fused
     attention kernel's custom_partitioning wrapper must stay vmappable

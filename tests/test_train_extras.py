@@ -1,6 +1,7 @@
 """Tests for backbone freezing, DEP-P (absolute pose) decode, and the
 double-buffered device feed."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -416,6 +417,7 @@ def test_lr_schedule_logged_to_tb(tmp_path):
         assert v == _pytest.approx(float(sched(s)))
 
 
+@pytest.mark.slow
 def test_profile_window_writes_trace(tmp_path):
     """train_model(profile=(at, n, dir)) captures a jax.profiler xplane
     trace of the requested step window (the --profile-steps CLI path)."""
