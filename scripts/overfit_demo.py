@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--superbatches", type=int, default=4)
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--learning-rate", type=float, default=1e-3)  # = reference
+    ap.add_argument("--save-checkpoint", type=str, default=None,
+                    help="Save the trained state (framework checkpoint) "
+                         "plus the held-out batch (held_out.npz) here — "
+                         "feeds scripts/quantize_accuracy.py")
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="Track an EMA of the params (saved in the "
+                         "checkpoint for the --ema export variant)")
     args = ap.parse_args()
 
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
@@ -62,11 +69,13 @@ def main():
     from pose3d_tpu.train.step import make_eval_step
 
     print(f"devices: {jax.devices()}")
-    model, variables = init_model(CNNModelConfig(), batch_size=10)
+    cfg = CNNModelConfig()
+    model, variables = init_model(cfg, batch_size=10)
     state = create_train_state(
-        model, variables, learning_rate=args.learning_rate
+        model, variables, learning_rate=args.learning_rate,
+        ema=args.ema_decay is not None,
     )
-    train_step = make_train_step(model)          # grouped ghost-BN default
+    train_step = make_train_step(model, ema_decay=args.ema_decay)
     eval_step = make_eval_step(model)
 
     rng = np.random.default_rng(0)
@@ -109,6 +118,19 @@ def main():
             print(f"step {step:4d}  loss {loss:12.1f}  "
                   f"train MPJPE {tr:7.1f}  held-out {val:7.1f} mm "
                   f"({dt:6.1f}s)")
+
+    if args.save_checkpoint:
+        from pathlib import Path
+
+        from pose3d_tpu.train.checkpoint import save_checkpoint
+
+        out = Path(args.save_checkpoint)
+        save_checkpoint(out, state, "cnn", cfg.to_dict())
+        np.savez(
+            out / "held_out.npz",
+            **{k: np.asarray(v) for k, v in held_out.items()},
+        )
+        print(f"checkpoint + held_out batch saved to {out}")
 
     final = curve[-1]["held_out_mpjpe_mm"]
     # steady-state throughput from the second half of the run (the first
