@@ -38,18 +38,30 @@ def _all_fully_replicated(tree) -> bool:
     return True
 
 
+def _state_tree(state) -> Dict:
+    """The exact pytree save_checkpoint serializes — single source of
+    truth, shared with state_needs_collective_checkpoint so the
+    process-0-gate predicate and the save branch can never disagree
+    (a field added to one but not the other would deadlock the orbax
+    barrier on a pod)."""
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    if getattr(state, "ema_params", None) is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
+
+
 def state_needs_collective_checkpoint(state) -> bool:
     """Whether saving ``state`` requires EVERY process to call
     save_checkpoint (sharded FSDP/TP state on a multi-process runtime) —
-    the train loop uses this to widen its process-0 checkpoint gate.
-    Evaluates the same tree save_checkpoint serializes, so the two
-    predicates can never disagree."""
+    the train loop uses this to widen its process-0 checkpoint gate."""
     if jax.process_count() == 1:
         return False
-    tree = [state.step, state.params, state.batch_stats, state.opt_state]
-    if getattr(state, "ema_params", None) is not None:
-        tree.append(state.ema_params)
-    return not _all_fully_replicated(tree)
+    return not _all_fully_replicated(_state_tree(state))
 
 
 def save_checkpoint(path, state, model_type: str, model_args: Dict,
@@ -61,14 +73,7 @@ def save_checkpoint(path, state, model_type: str, model_args: Dict,
     from pose3d_tpu.core.transfer import bulk_device_get
 
     path = Path(path).absolute()
-    tree = {
-        "step": state.step,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
-    if getattr(state, "ema_params", None) is not None:
-        tree["ema_params"] = state.ema_params
+    tree = _state_tree(state)
     if jax.process_count() > 1 and not _all_fully_replicated(tree):
         # Sharded state (FSDP/ZeRO-3 on a pod): no single host holds the
         # full arrays, so checkpointing is COLLECTIVE — every process

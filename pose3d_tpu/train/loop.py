@@ -441,6 +441,26 @@ def train_model(
         prof = {"at": int(prof_at), "until": int(prof_at) + int(prof_n),
                 "dir": str(prof_dir), "active": False}
 
+    # Multi-process: the stop decision must be COLLECTIVE. Signals land on
+    # each host independently, so a stop observed locally at different loop
+    # positions would have the hosts checkpoint at DIFFERENT steps — for a
+    # sharded (FSDP) state that is two different all-process orbax
+    # barriers, i.e. a distributed hang at shutdown (review finding). One
+    # tiny allgather per optimizer step (multi-process only, every host at
+    # the same loop position) makes "any host saw the signal" the shared
+    # decision, so every host exits at the same global_step. (SIGINT /
+    # KeyboardInterrupt stays host-local and inherently unsynchronized —
+    # SIGTERM is the supported pod-preemption path, cli/main.py.)
+    if stop_event is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def _stop_requested():
+            flag = np.float32(1.0 if stop_event.is_set() else 0.0)
+            return bool(multihost_utils.process_allgather(flag).max() > 0)
+    else:
+        def _stop_requested():
+            return stop_event is not None and stop_event.is_set()
+
     stopped = False
     try:
         for _epoch in range(max_epochs):
@@ -451,7 +471,7 @@ def train_model(
             ):
                 if global_step >= target or stopped:
                     break
-                if stop_event is not None and stop_event.is_set():
+                if _stop_requested():
                     logger.warning(
                         "Graceful stop requested — checkpointing at step %d "
                         "and exiting.", global_step,

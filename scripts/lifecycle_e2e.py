@@ -27,10 +27,12 @@ import argparse
 import io
 import json
 import os
+import queue
 import signal
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 import urllib.request
 from pathlib import Path
@@ -69,6 +71,34 @@ def _train_cmd(chunks, cache, num_steps):
     ]
 
 
+def _iter_lines_deadline(stream, deadline):
+    """Yield lines from ``stream`` until EOF or the wall-clock deadline.
+
+    A plain ``for line in proc.stdout`` blocks in readline — a wedged
+    child that keeps its pipe open (TPU-tunnel stall) would hang the
+    acceptance run forever instead of failing it (review finding). A
+    pump thread feeds a queue so the read side can time out."""
+    q = queue.Queue()
+
+    def pump():
+        for line in stream:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=pump, daemon=True).start()
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise TimeoutError("deadline exceeded reading child output")
+        try:
+            line = q.get(timeout=min(remaining, 5.0))
+        except queue.Empty:
+            continue
+        if line is None:
+            return
+        yield line
+
+
 def _run(cmd, cwd, timeout=1800, sigterm_after_step=None):
     """Run a CLI; optionally SIGTERM it once `step N` appears in output."""
     t0 = time.perf_counter()
@@ -81,12 +111,19 @@ def _run(cmd, cwd, timeout=1800, sigterm_after_step=None):
     marker = (
         f"Step {sigterm_after_step}: loss" if sigterm_after_step else None
     )
-    for line in proc.stdout:
-        lines.append(line)
-        if marker and not sent and marker in line:
-            proc.send_signal(signal.SIGTERM)
-            sent = True
-    rc = proc.wait(timeout=timeout)
+    try:
+        for line in _iter_lines_deadline(
+            proc.stdout, time.monotonic() + timeout
+        ):
+            lines.append(line)
+            if marker and not sent and marker in line:
+                proc.send_signal(signal.SIGTERM)
+                sent = True
+    except TimeoutError:
+        proc.kill()
+        print("".join(lines)[-4000:])
+        raise SystemExit(f"{cmd[2:4]} exceeded {timeout}s — killed")
+    rc = proc.wait(timeout=60)
     out = "".join(lines)
     if sigterm_after_step and not sent:
         print(out[-4000:])
@@ -255,18 +292,21 @@ def main():
     )
     try:
         port = None
-        deadline = time.time() + 600
-        for line in srv.stdout:
-            if "listening on" in line.lower() or "serving" in line.lower():
-                import re
+        try:
+            for line in _iter_lines_deadline(
+                srv.stdout, time.monotonic() + 600
+            ):
+                low = line.lower()
+                if "listening on" in low or "serving" in low:
+                    import re
 
-                m = re.search(r"on \S+:(\d+)", line)
-                if m:
-                    port = int(m.group(1))
-                    break
-            if time.time() > deadline:
-                break
-        assert port, "server did not report a port"
+                    m = re.search(r"on \S+:(\d+)", line)
+                    if m:
+                        port = int(m.group(1))
+                        break
+        except TimeoutError:
+            pass
+        assert port, "server did not report a port within 600s"
         buf = io.BytesIO()
         np.savez(buf, image=img, depth=dep, keypoints_2d=kp)
         req = urllib.request.Request(

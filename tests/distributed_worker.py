@@ -94,25 +94,17 @@ def main():
     rng_v = np.random.default_rng(99)
     val = [
         {
-            k: v
-            for k, v in b.items()
+            "image": rng_v.uniform(size=(8, 32, 32, 3)).astype(np.float32),
+            "depth": rng_v.uniform(1, 8, size=(8, 32, 32, 1)).astype(
+                np.float32
+            ),
+            "keypoints_2d": rng_v.uniform(
+                0.1, 0.9, size=(8, 17, 2)
+            ).astype(np.float32),
+            "joints_3d": (rng_v.normal(size=(8, 17, 3)) * 100).astype(
+                np.float32
+            ),
         }
-        for b in [
-            {
-                "image": rng_v.uniform(size=(8, 32, 32, 3)).astype(
-                    np.float32
-                ),
-                "depth": rng_v.uniform(1, 8, size=(8, 32, 32, 1)).astype(
-                    np.float32
-                ),
-                "keypoints_2d": rng_v.uniform(
-                    0.1, 0.9, size=(8, 17, 2)
-                ).astype(np.float32),
-                "joints_3d": (rng_v.normal(size=(8, 17, 3)) * 100).astype(
-                    np.float32
-                ),
-            }
-        ]
     ]
 
     # Per-process checkpoint dir: if the process-0 gate ever broke, the
@@ -177,6 +169,38 @@ def main():
     )
     assert meta_r["step"] == 2, meta_r
 
+    # --- Split-brain graceful-stop leg: a stop signal seen by ONE host --
+    # only must stop BOTH at the same step (the loop allgathers the stop
+    # flag), so the collective FSDP checkpoint that follows uses the SAME
+    # path/barrier on every process. Without the collective decision this
+    # leg deadlocks: p1 trains to completion while p0 blocks in the orbax
+    # barrier for its earlier step. The counting event fires on p0 only,
+    # after the second per-step check.
+    class _CountingEvent:
+        def __init__(self, fire_after_checks: int, active: bool):
+            self.checks = 0
+            self.fire_after = fire_after_checks
+            self.active = active
+
+        def is_set(self):
+            self.checks += 1
+            return self.active and self.checks > self.fire_after
+
+    _, variables_s = init_model(tiny, batch_size=8)
+    state_s = create_train_state(model, variables_s)
+    state_s, stop_step = train_loop.train_model(
+        state_s, "cnn", loader(6, seed=13), None, model=model, mesh=mesh,
+        gradient_accumulation_steps=1, num_steps=6,
+        checkpoint_prefix=os.path.join(shared, "sck"),
+        eval_interval_steps=100, log_interval_steps=1,
+        param_sharding="fsdp",
+        stop_event=_CountingEvent(2, active=(process_id == 0)),
+    )
+    assert stop_step < 6, f"stop ignored — ran to completion ({stop_step})"
+    sck = os.path.join(shared, f"sck_cnn_step_{stop_step}")
+    _, meta_s = load_checkpoint(sck)
+    assert meta_s["step"] == stop_step, meta_s
+
     print(
         "RESULT "
         + json.dumps(
@@ -188,6 +212,7 @@ def main():
                 "last_step": last_step,
                 "checksum": checksum,
                 "fsdp_ckpt_exact": bool(fsdp_exact),
+                "stop_step": int(stop_step),
             }
         ),
         flush=True,

@@ -110,6 +110,12 @@ def test_two_process_distributed_train(tmp_path):
     fsdp_ck = tmp_path / "shared" / "fck_cnn_step_2"
     assert (fsdp_ck / "meta.json").exists()
 
+    # Split-brain stop leg: the stop signal fired on process 0 ONLY, yet
+    # both hosts stopped at the SAME step (collective stop decision) and
+    # the collective FSDP checkpoint completed without deadlock
+    assert r0["stop_step"] == r1["stop_step"] == 2, (r0, r1)
+    assert (tmp_path / "shared" / "sck_cnn_step_2" / "meta.json").exists()
+
     # checkpoint written by process 0 ONLY (each process has its own dir,
     # so a broken gate would show up as files under p1/)
     ckpts0 = sorted((tmp_path / "p0").glob("ck_cnn_step_*"))
