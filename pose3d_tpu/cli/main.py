@@ -189,6 +189,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ZeRO-3 — params and optimizer moments sharded "
                         "over the data axis, ~mesh-size× lower param "
                         "memory per chip; parallel/fsdp.py)")
+    p.add_argument("--multislice", action="store_true",
+                   help="Build a hybrid (replica × data) mesh grouping "
+                        "devices by TPU slice: the batch shards over both "
+                        "axes, FSDP/param collectives stay within a slice "
+                        "on ICI, and only the per-step gradient all-reduce "
+                        "crosses DCN (core/mesh.make_hybrid_mesh). "
+                        "Requires a multi-slice runtime (devices expose "
+                        "slice_index; single-slice degenerates to the "
+                        "plain data mesh).")
     p.add_argument("--vit-weights", type=str, default=None,
                    help="Pretrained timm-format ViT weights "
                         "(.pth/.safetensors, vit_base_patch16_384 family) "
@@ -390,7 +399,18 @@ def main(argv=None):
     if args.start_step is not None:
         start_step = args.start_step
 
-    mesh = make_data_mesh_for_batch(batch_size)
+    if args.multislice:
+        from pose3d_tpu.core.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh()
+        total = mesh.shape["replica"] * mesh.shape["data"]
+        if batch_size % total:
+            raise SystemExit(
+                f"--multislice: batch size {batch_size} not divisible by "
+                f"the {total}-device hybrid mesh"
+            )
+    else:
+        mesh = make_data_mesh_for_batch(batch_size)
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
     )

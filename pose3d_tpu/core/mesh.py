@@ -87,11 +87,88 @@ def make_data_mesh_for_batch(batch_size: int,
     return make_mesh((d,), ("data",), devices=devices[:d])
 
 
+def make_hybrid_mesh(
+    ici_shape: Sequence[int] = (-1,),
+    ici_axes: Sequence[str] = ("data",),
+    dcn_axis: str = "replica",
+    devices: Optional[Sequence[jax.Device]] = None,
+    slice_key=None,
+) -> Mesh:
+    """Multi-slice mesh: leading ``dcn_axis`` enumerates TPU slices (linked
+    by DCN), inner ``ici_axes`` span each slice's ICI torus.
+
+    This is the scaling-book multi-slice recipe: keep the bandwidth-hungry
+    axes (FSDP all-gathers, TP collectives) *within* a slice on ICI, and
+    put only pure data parallelism — whose sole collective is one gradient
+    all-reduce per step — across the slow DCN links. Batch specs then
+    shard over ``(dcn_axis, "data")`` jointly (see ``batch_spec_entry``),
+    while param/moment specs keep using ``"data"``/``"model"`` so their
+    collectives never leave the slice.
+
+    Devices are grouped by ``slice_key`` (default: ``d.slice_index`` on
+    real multi-slice TPU, falling back to ``d.process_index`` — which also
+    lets CPU tests model "slices" as processes) and ordered within each
+    group by device id. All groups must be the same size. With one group
+    this degenerates to a ``(1, *ici_shape)`` mesh, which GSPMD treats
+    identically to a plain ICI mesh.
+
+    The reference has no distributed backend at all (SURVEY.md §2.2); this
+    supplies the DCN tier its single-GPU design never reaches.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if slice_key is None:
+        def slice_key(d):
+            s = getattr(d, "slice_index", None)
+            return s if s is not None else d.process_index
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(slice_key(d), []).append(d)
+    sizes = {len(g) for g in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"slices are unequal: {{k: len(v) for k, v in groups.items()}}="
+            f"{ {k: len(v) for k, v in groups.items()} }"
+        )
+    per_slice = sizes.pop()
+    ici_shape = list(ici_shape)
+    if -1 in ici_shape:
+        known = int(np.prod([s for s in ici_shape if s != -1]))
+        ici_shape[ici_shape.index(-1)] = per_slice // max(known, 1)
+    if int(np.prod(ici_shape)) != per_slice:
+        raise ValueError(
+            f"ici_shape {ici_shape} does not cover the {per_slice} devices "
+            f"of each slice"
+        )
+    ordered = [
+        sorted(groups[k], key=lambda d: d.id) for k in sorted(groups)
+    ]
+    dev_array = np.array(ordered).reshape([len(ordered)] + ici_shape)
+    return Mesh(dev_array, (dcn_axis, *tuple(ici_axes)))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dimension shards over: ``data`` plus, on a
+    hybrid multi-slice mesh, the cross-slice ``replica`` axis."""
+    return tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+
+
+def batch_spec_entry(mesh: Mesh):
+    """PartitionSpec entry for the batch dimension: ``"data"`` on a plain
+    mesh, ``("replica", "data")`` on a hybrid multi-slice mesh (sharding
+    over both axes jointly)."""
+    axes = batch_axes(mesh)
+    if not axes:
+        return None
+    return axes[0] if len(axes) == 1 else axes
+
+
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
-    """Sharding that splits dimension ``batch_axis`` over the ``data`` mesh
-    axis and replicates the rest."""
+    """Sharding that splits dimension ``batch_axis`` over the mesh's batch
+    axes (``data``, plus ``replica`` on hybrid meshes) and replicates the
+    rest."""
     spec = [None] * ndim
-    spec[batch_axis] = "data"
+    spec[batch_axis] = batch_spec_entry(mesh)
     return NamedSharding(mesh, P(*spec))
 
 
@@ -110,7 +187,11 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    n = mesh.shape.get("data", 1)
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape.get(a, 1)
     if global_batch % n != 0:
-        raise ValueError(f"global batch {global_batch} not divisible by data axis {n}")
+        raise ValueError(
+            f"global batch {global_batch} not divisible by batch axes size {n}"
+        )
     return global_batch // n

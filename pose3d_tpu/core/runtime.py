@@ -23,3 +23,58 @@ def apply_tpu_workarounds() -> None:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_disable_hlo_passes=space-to-batch-converter"
         ).strip()
+    enable_persistent_compile_cache()
+
+
+def enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    Every CLI invocation is a fresh process, and each train/eval/infer
+    program costs ~40 s of remote compile through the TPU tunnel — the
+    cache makes the second and later invocations of the same program
+    (same shapes, same XLA flags) skip compilation entirely. Compiled
+    executables are keyed by the full HLO + compile options, so
+    ``apply_tpu_workarounds``'s pass changes hash separately and the
+    cache never crosses numerics configurations.
+
+    Control via ``POSE3D_COMPILE_CACHE``:
+      * unset        → ``$XDG_CACHE_HOME|~/.cache``/pose3d_tpu/jax_cache
+      * ``0``/``off``/empty → disabled
+      * anything else → used as the cache directory
+    A directory explicitly configured earlier in the process (e.g. the
+    test conftest or bench.py) is left alone.
+
+    CPU-only processes are excluded by default: XLA:CPU cache entries are
+    AOT executables specialized to the *compiling* machine's ISA features,
+    and a home-directory cache can outlive the machine (container images,
+    shared homes) — loading them elsewhere risks SIGILL (cpu_aot_loader
+    warns exactly this). TPU executables run device-side, so the expensive
+    ~40 s tunnel compiles — the whole point of the cache — are safe to
+    persist. An explicit ``POSE3D_COMPILE_CACHE=<dir>`` overrides the CPU
+    gate (the caller owns the directory's lifetime then).
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured by the caller — respect it
+    raw = os.environ.get("POSE3D_COMPILE_CACHE")
+    if raw is not None and raw.strip().lower() in ("", "0", "off", "none"):
+        return
+    platforms = jax.config.jax_platforms
+    if not raw and platforms and set(platforms.split(",")) <= {"cpu"}:
+        return  # CPU-only process: AOT entries are machine-specific
+    if raw:
+        cache_dir = raw
+    else:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        cache_dir = os.path.join(base, "pose3d_tpu", "jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return  # unwritable home (containers) — silently skip
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Only cache compiles that are actually expensive; tiny host-side
+    # programs would otherwise flood the directory.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -344,8 +344,10 @@ def _data_parallel_jit(fwd, mesh):
     sweep, SURVEY.md §3.3 bottleneck)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from pose3d_tpu.core.mesh import batch_spec_entry
+
     repl = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P("data"))
+    sharded = NamedSharding(mesh, P(batch_spec_entry(mesh)))
     return jax.jit(fwd, in_shardings=(repl, sharded))
 
 

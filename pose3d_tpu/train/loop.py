@@ -76,8 +76,11 @@ def _device_prefetch(iterator, mesh, depth: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def _sh(v):
+            from pose3d_tpu.core.mesh import batch_spec_entry
+
             return NamedSharding(
-                mesh, P(*([None, "data"] + [None] * (v.ndim - 2)))
+                mesh,
+                P(*([None, batch_spec_entry(mesh)] + [None] * (v.ndim - 2))),
             )
 
         if jax.process_count() > 1:
@@ -133,10 +136,12 @@ def _global_val_batch(db, mesh):
         return db
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from pose3d_tpu.core.mesh import batch_spec_entry
+
     out = {}
     for k, v in db.items():
         arr = np.asarray(v)
-        sh = NamedSharding(mesh, P("data"))
+        sh = NamedSharding(mesh, P(batch_spec_entry(mesh)))
         out[k] = jax.make_array_from_callback(
             arr.shape, sh, lambda idx, a=arr: a[idx]
         )

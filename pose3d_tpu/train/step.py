@@ -9,11 +9,14 @@ accumulate→update pipeline on-device via ``lax.scan`` — one XLA program per
 optimizer step, no per-microbatch host round-trips (which matters doubly
 through a remote-TPU tunnel).
 
-Parallelism: the microbatch axis B is sharded over the mesh ``data`` axis
-(in_shardings P(None, "data", ...)); XLA GSPMD inserts the gradient
-all-reduce over ICI. BatchNorm batch statistics are computed over the
-*global* microbatch for the same reason — the mean over a sharded axis
-lowers to a cross-replica collective automatically.
+Parallelism: the microbatch axis B is sharded over the mesh batch axes
+(in_shardings P(None, "data", ...) on a plain mesh; jointly over
+("replica", "data") on a hybrid multi-slice mesh — core/mesh.
+batch_spec_entry); XLA GSPMD inserts the gradient all-reduce over
+ICI (and across slices over DCN on a hybrid mesh). BatchNorm batch
+statistics are computed over the *global* microbatch for the same
+reason — the mean over a sharded axis lowers to a cross-replica
+collective automatically.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pose3d_tpu.core.mesh import batch_spec_entry
 from pose3d_tpu.geometry.metrics import mpjpe, pa_mpjpe
 from pose3d_tpu.ops.losses import LossWeights, composite_pose_loss
 
@@ -279,7 +283,7 @@ def make_train_step(
 
     if mesh is not None:
         # prefix pytree: one spec applied to every leaf of the batch dict
-        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        batch_sharding = NamedSharding(mesh, P(None, batch_spec_entry(mesh)))
         repl = NamedSharding(mesh, P())
         if state_sharding == "auto":
             if state_like is not None:
@@ -357,7 +361,7 @@ def make_eval_step(model, weights: LossWeights = LossWeights(),
         return metrics, out
 
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P("data"))
+        batch_sharding = NamedSharding(mesh, P(batch_spec_entry(mesh)))
         repl = NamedSharding(mesh, P())
         state_spec = None if state_sharding == "auto" else repl
         return jax.jit(
@@ -375,7 +379,7 @@ def make_predict_fn(model, mesh: Optional[Mesh] = None):
         return model.apply(variables, image, depth, keypoints_2d, train=False)
 
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P("data"))
+        batch_sharding = NamedSharding(mesh, P(batch_spec_entry(mesh)))
         repl = NamedSharding(mesh, P())
         return jax.jit(
             fwd,
