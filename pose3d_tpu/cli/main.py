@@ -402,6 +402,18 @@ def main(argv=None):
     if args.multislice:
         from pose3d_tpu.core.mesh import make_hybrid_mesh
 
+        if not any(
+            getattr(d, "slice_index", None) is not None for d in jax.devices()
+        ):
+            # Without slice_index the default slice_key groups by
+            # process_index, so on a multi-host single-slice pod the
+            # "replica" axis would label intra-slice ICI as DCN — numerically
+            # fine, but not the multi-slice topology the flag promises.
+            logger.warning(
+                "--multislice: no device exposes slice_index; grouping by "
+                "process index instead — the 'replica' axis may not "
+                "correspond to DCN links on this runtime."
+            )
         mesh = make_hybrid_mesh()
         total = mesh.shape["replica"] * mesh.shape["data"]
         if batch_size % total:

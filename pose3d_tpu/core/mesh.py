@@ -127,7 +127,7 @@ def make_hybrid_mesh(
     sizes = {len(g) for g in groups.values()}
     if len(sizes) != 1:
         raise ValueError(
-            f"slices are unequal: {{k: len(v) for k, v in groups.items()}}="
+            "slices are unequal (devices per slice): "
             f"{ {k: len(v) for k, v in groups.items()} }"
         )
     per_slice = sizes.pop()

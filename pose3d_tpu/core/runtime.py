@@ -61,8 +61,17 @@ def enable_persistent_compile_cache() -> None:
     if raw is not None and raw.strip().lower() in ("", "0", "off", "none"):
         return
     platforms = jax.config.jax_platforms
-    if not raw and platforms and set(platforms.split(",")) <= {"cpu"}:
-        return  # CPU-only process: AOT entries are machine-specific
+    if not raw and not (
+        platforms and not set(platforms.split(",")) <= {"cpu"}
+    ):
+        # Not provably a non-CPU process: either jax_platforms is unset
+        # (JAX may default to CPU) or it names only "cpu". Either way the
+        # entries could be machine-specific XLA:CPU AOT executables — skip
+        # the default home-dir cache rather than risk a cross-machine
+        # SIGILL. Processes that want the cache either configure
+        # jax_platforms (all CLIs do, via the axon plugin forcing it) or
+        # set POSE3D_COMPILE_CACHE explicitly.
+        return
     if raw:
         cache_dir = raw
     else:

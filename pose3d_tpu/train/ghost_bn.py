@@ -62,7 +62,7 @@ def ema_chain(r0, increments, momentum):
     return (momentum ** g) * r0 + (increments * wr).sum(axis=0)
 
 
-def ghost_batchnorm_interceptor(groups: int):
+def ghost_batchnorm_interceptor(groups: int, group_major: bool = True):
     """Build an ``nn.intercept_methods`` interceptor computing BatchNorm
     statistics per group of ``batch_size // groups`` samples.
 
@@ -71,6 +71,15 @@ def ghost_batchnorm_interceptor(groups: int):
     custom DotStatsBatchNorm / Pallas BN variants are rejected loudly —
     silently computing their statistics over the whole flat batch would
     change training semantics.
+
+    ``group_major`` declares the flat batch's sample order: True means
+    sample ``g*B + b`` belongs to group ``g`` (the single-device layout);
+    False means sample ``b*G + g`` belongs to group ``g`` — the
+    *group-minor* layout the mesh-sharded grouped train step uses so that
+    the [A, B-sharded] → [A·B] merge stays a local transpose + contiguous
+    reshape under GSPMD (see train/step.py grouped_step). Group membership
+    (microbatch i = group i) is identical either way; only the in-memory
+    order differs.
     """
 
     def interceptor(next_fun, args, kwargs, context):
@@ -131,10 +140,19 @@ def ghost_batchnorm_interceptor(groups: int):
             lambda s: jnp.ones(s, stats_dtype), feature_shape,
         )
 
-        # [G, B, ...]: group-major flat batch (the grouped train step
-        # reshapes the [A, B, ...] superbatch with A major, so group i is
-        # the i-th microbatch of the sequential reference loop).
-        xg = x.reshape((groups, n // groups) + x.shape[1:])
+        # Ungroup the flat batch. group_major: [G, B, ...] with the group
+        # axis leading (single-device layout — group i is the i-th
+        # sequential microbatch). group-minor: [B, G, ...] with the group
+        # axis second, so a batch axis sharded over the mesh stays the
+        # leading (contiguously sharded) axis and each group's statistics
+        # reduce lowers to a local reduce + one [G, C]-sized all-reduce
+        # instead of a full-batch regather.
+        if group_major:
+            xg = x.reshape((groups, n // groups) + x.shape[1:])
+            gax = 0
+        else:
+            xg = x.reshape((n // groups, groups) + x.shape[1:])
+            gax = 1
         means, vars_ = jax.vmap(
             lambda xi: fnorm._compute_stats(
                 xi,
@@ -142,7 +160,8 @@ def ghost_batchnorm_interceptor(groups: int):
                 dtype=mdl.dtype,
                 use_fast_variance=mdl.use_fast_variance,
                 force_float32_reductions=mdl.force_float32_reductions,
-            )
+            ),
+            in_axes=gax,
         )(xg)
 
         m = mdl.momentum
@@ -156,7 +175,9 @@ def ghost_batchnorm_interceptor(groups: int):
                 mdl.use_bias, mdl.use_scale,
                 mdl.bias_init, mdl.scale_init,
                 mdl.force_float32_reductions,
-            )
+            ),
+            in_axes=(gax, 0, 0),
+            out_axes=gax,
         )(xg, means, vars_)
         return y.reshape(x.shape)
 

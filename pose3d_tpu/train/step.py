@@ -14,9 +14,11 @@ Parallelism: the microbatch axis B is sharded over the mesh batch axes
 ("replica", "data") on a hybrid multi-slice mesh — core/mesh.
 batch_spec_entry); XLA GSPMD inserts the gradient all-reduce over
 ICI (and across slices over DCN on a hybrid mesh). BatchNorm batch
-statistics are computed over the *global* microbatch for the same
-reason — the mean over a sharded axis lowers to a cross-replica
-collective automatically.
+statistics are computed per ghost group over the sharded batch axis,
+which lowers to a local reduce plus one [G, C]-sized all-reduce per
+BatchNorm layer — on a hybrid mesh these small partials DO cross DCN
+(each group spans every batch shard), a per-layer latency cost that is
+negligible in bytes next to the gradient all-reduce.
 """
 
 from __future__ import annotations
@@ -28,9 +30,19 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pose3d_tpu.core.mesh import batch_spec_entry
+from pose3d_tpu.core.mesh import batch_axes, batch_spec_entry
 from pose3d_tpu.geometry.metrics import mpjpe, pa_mpjpe
 from pose3d_tpu.ops.losses import LossWeights, composite_pose_loss
+
+
+def _mesh_batch_devices(mesh) -> int:
+    """Number of devices the batch axis shards over (1 without a mesh)."""
+    if mesh is None:
+        return 1
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape.get(a, 1)
+    return n
 
 
 def decompact_batch(batch):
@@ -139,9 +151,15 @@ def make_train_step(
     pre-places the params and GSPMD propagates their layouts.
 
     ``ema_decay``: maintain an exponential moving average of the params
-    inside the step (state.ema_params ← d·ema + (1−d)·params after the
-    optimizer update; requires create_train_state(ema=True)). Evaluate or
-    export the averaged weights via train.state.with_ema_params.
+    inside the step (state.ema_params ← d_t·ema + (1−d_t)·params after the
+    optimizer update; requires create_train_state(ema=True)). The
+    effective decay ramps, d_t = min(ema_decay, (1+t)/(10+t)) with t the
+    optimizer step count, so short runs aren't dominated by the random
+    init the average starts from (round-4 measurement: constant 0.999 gave
+    681.5 mm EMA vs 511.0 mm raw MPJPE at 600 steps); past t ≈
+    10/(1−ema_decay) the ramp saturates and behavior equals the plain
+    constant-decay EMA. Evaluate or export the averaged weights via
+    train.state.with_ema_params.
 
     ``state_like``: optional pre-sharded TrainState whose committed
     placements pin BOTH in_ and out_shardings of the state under
@@ -214,13 +232,33 @@ def make_train_step(
 
         apply_fn = model.apply if model is not None else state.apply_fn
         accum = batch["image"].shape[0]
-        # Group-major flatten: sample a*B+b is microbatch a's b-th sample,
-        # so BatchNorm group i inside the interceptor IS the i-th
-        # sequential microbatch. (On a mesh the [A, B-sharded] -> [A*B]
-        # merge resharding is handled by GSPMD; on one chip it is free.)
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), batch
-        )
+        # Flatten [A, B, ...] -> [A*B, ...]. The ORDER matters on a mesh:
+        # the superbatch is fed with the B axis sharded (P(None, batch)),
+        # and the A-major merge (sample a*B+b) interleaves ownership along
+        # the flat axis — GSPMD cannot represent that sharding, so it
+        # ALL-GATHERS the entire batch and runs the model replicated on
+        # every device (measured: compiled HLO on a 4-device hybrid mesh
+        # carried replica_groups=[1,4] all-gathers of the full image batch
+        # and full-flat-batch convolutions — zero data-parallel speedup).
+        # The group-MINOR merge (sample b*A+g, via a local transpose of
+        # each device's own rows) keeps the flat axis contiguously sharded:
+        # compute stays data-parallel and each BatchNorm group's statistics
+        # cost one [G, C]-sized all-reduce (the only cross-device — and on
+        # a hybrid mesh cross-slice — traffic besides the gradient
+        # all-reduce). On a single device the A-major order is kept: the
+        # reshape is free, preserving the measured headline program.
+        group_major = _mesh_batch_devices(mesh) <= 1
+        if group_major:
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), batch
+            )
+        else:
+            flat = jax.tree_util.tree_map(
+                lambda x: x.swapaxes(0, 1).reshape(
+                    (x.shape[0] * x.shape[1],) + x.shape[2:]
+                ),
+                batch,
+            )
 
         def loss_fn(params, bstats):
             micro = decompact_batch(flat)
@@ -228,7 +266,9 @@ def make_train_step(
                 # distinct stream from the dropout rng (which uses `rng`
                 # unfolded); 0x617567 = "aug"
                 micro = augment(micro, jax.random.fold_in(rng, 0x617567))
-            with nn.intercept_methods(ghost_batchnorm_interceptor(accum)):
+            with nn.intercept_methods(
+                ghost_batchnorm_interceptor(accum, group_major=group_major)
+            ):
                 out, muts = apply_fn(
                     {"params": params, "batch_stats": bstats},
                     micro["image"], micro["depth"], micro["keypoints_2d"],
@@ -260,7 +300,17 @@ def make_train_step(
                     "ema_decay given but the state carries no ema_params — "
                     "build it with create_train_state(..., ema=True)"
                 )
-            d = ema_decay
+            # Decay ramp (timm/torch-EMA style): d_t = min(d, (1+t)/(10+t)).
+            # A constant decay initialized at the init params is dominated
+            # by the random init for ~1/(1-d) steps — measured 681.5 mm EMA
+            # vs 511.0 mm raw MPJPE on a 600-step run at d=0.999
+            # (docs/ROUND4.md §4). The ramp starts the average hot (d_1 ≈
+            # 0.18 tracks the live params) and converges to the configured
+            # decay, so short runs stay usable and long-horizon behavior is
+            # unchanged. Equivalent to Adam-style debiasing without
+            # changing the stored-average semantics or checkpoint schema.
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
             kw["ema_params"] = jax.tree_util.tree_map(
                 lambda e, p: e * d + (1.0 - d) * p,
                 state.ema_params, params,

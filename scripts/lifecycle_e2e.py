@@ -41,24 +41,39 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 
-MODEL_ARGS = json.dumps({
-    "image_size": [64, 64], "heatmap_size": 64, "heatmap_sigma": 2.0,
-    "stage_channels": [8, 16, 32], "stage_depths": [1, 1, 1],
-    "initial_channels": 8, "global_pool_size": 2, "global_feature_dim": 16,
-    "regression_dims": [16],
-})
+# Tiny configs per model family — the lifecycle exercises the CLIs and
+# runtime plumbing, not model capacity. The transformer leg runs the REAL
+# Pallas attention kernel on the chip (train/eval default
+# --attention-backend pallas) and exports through the portable XLA
+# attention path (export default; numerics budget asserted in phase 5).
+MODEL_ARGS = {
+    "cnn": json.dumps({
+        "image_size": [64, 64], "heatmap_size": 64, "heatmap_sigma": 2.0,
+        "stage_channels": [8, 16, 32], "stage_depths": [1, 1, 1],
+        "initial_channels": 8, "global_pool_size": 2,
+        "global_feature_dim": 16, "regression_dims": [16],
+    }),
+    "transformer": json.dumps({
+        "image_size": [64, 64], "heatmap_size": 32,
+        "heatmap_patch_size": 16, "heatmap_sigma": 2.0,
+        "transformer_embed_dim": 64, "transformer_heads": 4,
+        "vit_depth": 2, "vit_heads": 4, "final_encoder_depth": 1,
+        "num_cross_modal_layers": 1, "regression_hidden_dims": [32],
+    }),
+}
 
 INTERRUPT_AFTER_STEP = 3
 FINAL_STEP = 6
 
 
-def _train_cmd(chunks, cache, num_steps):
+def _train_cmd(chunks, cache, num_steps, model_type):
     return [
         sys.executable, "-m", "pose3d_tpu.cli.main",
         "--chunks-dir", str(chunks),
         "--train-chunks", "0", "1", "--val-chunks", "0",
         "--cache-dir", str(cache),
-        "--model-type", "cnn", "--model-args", MODEL_ARGS,
+        "--model-type", model_type,
+        "--model-args", MODEL_ARGS[model_type],
         "--num-steps", str(num_steps), "--batch-size", "4",
         "--grad-accum", "2", "--accum-mode", "grouped",
         "--ema-decay", "0.999",
@@ -157,7 +172,13 @@ def _load_state_arrays(ckpt_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--model-type", choices=("cnn", "transformer"),
+                    default="cnn",
+                    help="Model family to run the lifecycle on "
+                         "(VERDICT r4 item 3: the transformer leg composes "
+                         "Pallas attention + EMA + XLA-attention export)")
     args = ap.parse_args()
+    mt = args.model_type
 
     # Same XLA pass config as every CLI subprocess (they all call this
     # themselves): without it the in-process phase-5/6 reference outputs
@@ -169,7 +190,7 @@ def main():
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="lifecycle_"))
     work.mkdir(parents=True, exist_ok=True)
-    summary = {"workdir": str(work)}
+    summary = {"workdir": str(work), "model_type": mt}
 
     sys.path.insert(0, str(REPO / "tests"))
     from helpers_synthetic import make_synthetic_dataset
@@ -184,10 +205,10 @@ def main():
     # ---- 1+2: train, SIGTERM after step 3, graceful exit ----------------
     run_a = work / "run_a"
     run_a.mkdir(exist_ok=True)
-    out, dt = _run(_train_cmd(chunks, work / "cache", FINAL_STEP),
+    out, dt = _run(_train_cmd(chunks, work / "cache", FINAL_STEP, mt),
                    run_a, sigterm_after_step=INTERRUPT_AFTER_STEP)
     assert "SIGTERM" in out, "graceful-stop path not taken"
-    ck_a = sorted(run_a.glob("model_epoch__cnn_step_*"))
+    ck_a = sorted(run_a.glob(f"model_epoch__{mt}_step_*"))
     assert ck_a, "no checkpoint after SIGTERM"
     step_at_sigterm = max(
         int(p.name.rsplit("_", 1)[1]) for p in ck_a
@@ -197,17 +218,17 @@ def main():
     assert step_at_sigterm < FINAL_STEP
 
     # ---- 3a: auto-resume to completion ---------------------------------
-    out, dt = _run(_train_cmd(chunks, work / "cache", FINAL_STEP), run_a)
+    out, dt = _run(_train_cmd(chunks, work / "cache", FINAL_STEP, mt), run_a)
     assert "Auto-resume: found" in out, "did not auto-resume"
-    final_a = run_a / f"model_epoch__cnn_step_{FINAL_STEP}"
+    final_a = run_a / f"model_epoch__{mt}_step_{FINAL_STEP}"
     assert (final_a / "meta.json").exists(), "resumed run missing final ckpt"
     summary["train_phase2_s"] = round(dt, 1)
 
     # ---- 3b: uninterrupted control run, bit-exact comparison ------------
     run_b = work / "run_b"
     run_b.mkdir(exist_ok=True)
-    _run(_train_cmd(chunks, work / "cache", FINAL_STEP), run_b)
-    final_b = run_b / f"model_epoch__cnn_step_{FINAL_STEP}"
+    _run(_train_cmd(chunks, work / "cache", FINAL_STEP, mt), run_b)
+    final_b = run_b / f"model_epoch__{mt}_step_{FINAL_STEP}"
     a = _load_state_arrays(final_a)
     b = _load_state_arrays(final_b)
     assert set(a) == set(b), "state tree mismatch between runs"

@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--ema-decay", type=float, default=None,
                     help="Track an EMA of the params (saved in the "
                          "checkpoint for the --ema export variant)")
+    ap.add_argument("--model-type", choices=("cnn", "transformer"),
+                    default="cnn",
+                    help="cnn = the flagship 500×500 config; transformer = "
+                         "a reduced ViT lifter (256px, embed 192, depth 4 — "
+                         "big enough to learn, small enough for quick "
+                         "on-chip PTQ protocol runs, VERDICT r4 item 7)")
+    ap.add_argument("--model-args", type=str, default=None,
+                    help="JSON model-config overrides")
     args = ap.parse_args()
 
     from pose3d_tpu.core.runtime import apply_tpu_workarounds
@@ -63,14 +71,27 @@ def main():
     apply_tpu_workarounds()
     import jax
 
-    from pose3d_tpu.core.config import CNNModelConfig
+    from pose3d_tpu.core.config import make_model_config
     from pose3d_tpu.models import init_model
     from pose3d_tpu.train import create_train_state, make_train_step
     from pose3d_tpu.train.step import make_eval_step
 
     print(f"devices: {jax.devices()}")
-    cfg = CNNModelConfig()
-    model, variables = init_model(cfg, batch_size=10)
+    margs = json.loads(args.model_args) if args.model_args else {}
+    if args.model_type == "transformer" and not margs:
+        margs = {
+            "image_size": [256, 256], "heatmap_size": 64,
+            "transformer_embed_dim": 192, "transformer_heads": 4,
+            "vit_depth": 4, "vit_heads": 4, "final_encoder_depth": 2,
+            "num_cross_modal_layers": 1,
+            "regression_hidden_dims": [256, 128],
+        }
+    cfg = make_model_config(args.model_type, **margs)
+    # CNN runs the reference's 10×10 grouped superbatch; the ViT leg runs
+    # accum 1 × batch 8 (its production configuration, README table)
+    accum, batch = (10, 10) if args.model_type == "cnn" else (1, 8)
+    size = cfg.image_size[0]
+    model, variables = init_model(cfg, batch_size=batch)
     state = create_train_state(
         model, variables, learning_rate=args.learning_rate,
         ema=args.ema_decay is not None,
@@ -81,12 +102,12 @@ def main():
     rng = np.random.default_rng(0)
     train_batches = [
         {k: jax.device_put(v)
-         for k, v in make_task_batch(rng, 10, 10).items()}
+         for k, v in make_task_batch(rng, accum, batch, size=size).items()}
         for _ in range(args.superbatches)
     ]
     held_out = {
         k: jax.device_put(v[0])
-        for k, v in make_task_batch(rng, 1, 10).items()
+        for k, v in make_task_batch(rng, 1, batch, size=size).items()
     }
 
     key = jax.random.PRNGKey(0)
@@ -125,7 +146,7 @@ def main():
         from pose3d_tpu.train.checkpoint import save_checkpoint
 
         out = Path(args.save_checkpoint)
-        save_checkpoint(out, state, "cnn", cfg.to_dict())
+        save_checkpoint(out, state, args.model_type, cfg.to_dict())
         np.savez(
             out / "held_out.npz",
             **{k: np.asarray(v) for k, v in held_out.items()},
@@ -137,14 +158,14 @@ def main():
     # ~2-3 step shapes each trigger a layout-keyed recompile on this
     # platform; including them would under-report the step rate)
     half = curve[len(curve) // 2]
-    ss_imgs = (curve[-1]["step"] - half["step"]) * 100
+    ss_imgs = (curve[-1]["step"] - half["step"]) * accum * batch
     ss_wall = max(curve[-1]["wall_s"] - half["wall_s"], 1e-9)
     print(json.dumps({
         "untrained_mpjpe_mm": round(base, 1),
         "final_train_mpjpe_mm": curve[-1]["train_mpjpe_mm"],
         "final_held_out_mpjpe_mm": final,
         "steps": args.steps,
-        "effective_images": args.steps * 100,
+        "effective_images": args.steps * accum * batch,
         "wall_s": curve[-1]["wall_s"],
         "steady_state_images_per_sec": round(ss_imgs / ss_wall, 1),
         "curve": curve,

@@ -64,7 +64,9 @@ def main():
 
     report = {}
     for tag, params in variants.items():
-        variables = {"params": params, "batch_stats": tree["batch_stats"]}
+        variables = {"params": params}
+        if tree.get("batch_stats"):  # transformer checkpoints carry none
+            variables["batch_stats"] = tree["batch_stats"]
         for quant in (None, "int8"):
             name = "_".join(x for x in (tag, quant or "f32") if x)
             exported = serve.export_lifter(

@@ -20,8 +20,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 # Persistent compile cache: the 1-vCPU host pays ~20-60 s per big XLA
-# compile; caching makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+# compile; caching makes repeat test runs fast. XLA:CPU cache entries are
+# AOT executables specialized to the compiling machine's ISA — /tmp can be
+# shared across containers on different hosts here (observed: entries with
+# mismatched CPU-feature sets triggering cpu_aot_loader SIGILL warnings),
+# so key the directory by the host's CPU feature fingerprint.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _cpu = [ln for ln in f if ln.startswith("flags")][0]
+except (OSError, IndexError):
+    _cpu = platform.processor() or platform.machine()
+_fp = hashlib.sha1(_cpu.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_tests_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()

@@ -124,3 +124,91 @@ def test_two_process_distributed_train(tmp_path):
     assert not ckpts1, f"process 1 wrote checkpoints: {ckpts1}"
     meta = json.loads((ckpts0[-1] / "meta.json").read_text())
     assert meta["step"] == 2
+
+    # --- Hybrid leg (VERDICT r4 item 4): the workers trained on a
+    # (replica=process, data=4) hybrid mesh where "replica" crossed the
+    # REAL process boundary. Both hosts must agree bit-for-bit, the
+    # collective checkpoint must exist, and a single-process hybrid mesh
+    # fed the SAME global data must reproduce the result exactly — the
+    # process boundary changes transport, not math.
+    assert r0["hybrid_checksum"] == r1["hybrid_checksum"]
+    assert (tmp_path / "shared" / "hck_cnn_step_2" / "meta.json").exists()
+    control = _single_process_hybrid_checksum()
+    assert control == r0["hybrid_checksum"], (
+        f"2-process hybrid diverged from the single-process control: "
+        f"{r0['hybrid_checksum']!r} vs {control!r}"
+    )
+
+
+def _single_process_hybrid_checksum():
+    """Reproduce the workers' hybrid leg on THIS process's 8 virtual
+    devices: same tiny model/seed, same global batches (host h's rows =
+    rng(17+h) stream), hybrid (2,4) mesh with slices = id//4 — the same
+    device rows the 2-process run's replica axis held."""
+    import jax
+    import numpy as np
+
+    from pose3d_tpu.core.config import CNNModelConfig
+    from pose3d_tpu.core.mesh import make_hybrid_mesh
+    from pose3d_tpu.models import init_model
+    from pose3d_tpu.train import create_train_state
+    from pose3d_tpu.train import loop as train_loop
+
+    tiny = CNNModelConfig(
+        image_size=(32, 32), heatmap_size=32, heatmap_sigma=2.0,
+        stage_channels=(8, 16, 32), stage_depths=(1, 1, 1),
+        initial_channels=8, global_pool_size=2, global_feature_dim=64,
+        regression_dims=(16,),
+    )
+
+    def host_batches(n, shard, b=8, seed=17):
+        rng = np.random.default_rng(seed + shard)
+        return [
+            {
+                "image": rng.uniform(size=(b, 32, 32, 3)).astype(np.float32),
+                "depth": rng.uniform(1, 8, size=(b, 32, 32, 1)).astype(
+                    np.float32),
+                "keypoints_2d": rng.uniform(0.1, 0.9, size=(b, 17, 2)).astype(
+                    np.float32),
+                "joints_3d": (rng.normal(size=(b, 17, 3)) * 100).astype(
+                    np.float32),
+            }
+            for _ in range(n)
+        ]
+
+    per_host = [host_batches(2, s) for s in (0, 1)]
+    global_batches = [
+        {k: np.concatenate([per_host[0][i][k], per_host[1][i][k]])
+         for k in per_host[0][i]}
+        for i in range(2)
+    ]
+
+    devices = jax.devices()[:8]
+    mesh = make_hybrid_mesh((4,), devices=devices,
+                            slice_key=lambda d: d.id // 4)
+    model, variables = init_model(tiny, batch_size=8)
+    state = create_train_state(model, variables)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        state, _ = train_loop.train_model(
+            state, "cnn", global_batches, None, model=model, mesh=mesh,
+            gradient_accumulation_steps=1, num_steps=2,
+            checkpoint_prefix=os.path.join(td, "ctl"),
+            eval_interval_steps=100, log_interval_steps=1,
+            param_sharding="fsdp",
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        gathered = jax.jit(
+            lambda p: p,
+            out_shardings=jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), state.params
+            ),
+        )(state.params)
+        return float(
+            sum(
+                np.float64(np.asarray(l, np.float32).sum())
+                for l in jax.tree_util.tree_leaves(jax.device_get(gathered))
+            )
+        )

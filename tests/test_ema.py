@@ -36,9 +36,17 @@ def _batch(rng, a=1, b=2):
     }
 
 
+def _ramped(d, t):
+    """The step's effective decay at update t (1-based): the timm-style
+    ramp min(d, (1+t)/(10+t)) that keeps short runs from being dominated
+    by the random init (train/step.py _apply_update)."""
+    return min(d, (1.0 + t) / (10.0 + t))
+
+
 def test_ema_tracks_closed_form():
-    """After k steps: ema_k = d^k·p0 + (1−d)·Σ d^(k−i)·p_i (p_i = params
-    after step i) — verified leaf-by-leaf over 3 real optimizer steps."""
+    """After k steps: ema_k folds p_k in with the RAMPED decay
+    d_t = min(d, (1+t)/(10+t)) — verified leaf-by-leaf over 3 real
+    optimizer steps."""
     d = 0.9
     model, variables = init_model(TINY, batch_size=2)
     state = create_train_state(model, variables, ema=True)
@@ -49,8 +57,9 @@ def test_ema_tracks_closed_form():
     rng = np.random.default_rng(0)
     for i in range(3):
         state, _ = step(state, _batch(rng), jax.random.PRNGKey(i))
+        dt = _ramped(d, i + 1)
         expected = [
-            e * d + (1 - d) * np.asarray(p)
+            e * dt + (1 - dt) * np.asarray(p)
             for e, p in zip(expected, leaves(state.params))
         ]
     for e, a in zip(expected, leaves(state.ema_params)):
@@ -59,6 +68,54 @@ def test_ema_tracks_closed_form():
     assert any(
         not np.allclose(np.asarray(p), np.asarray(e))
         for p, e in zip(leaves(state.params), leaves(state.ema_params))
+    )
+
+
+def test_ema_ramp_converges_to_configured_decay():
+    """Long horizons are unchanged by the ramp: once (1+t)/(10+t) exceeds
+    the configured decay, the update is the plain constant-decay EMA."""
+    d = 0.95
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    # (1+t)/(10+t) >= 0.95 ⇔ t >= 161; place the state deep into training
+    state = state.replace(step=jax.numpy.int32(10_000))
+    step = make_train_step(model, donate=False, ema_decay=d)
+
+    leaves = jax.tree_util.tree_leaves
+    before = [np.asarray(x) for x in leaves(state.ema_params)]
+    state, _ = step(state, _batch(np.random.default_rng(3)),
+                    jax.random.PRNGKey(0))
+    for e0, e1, p in zip(before, leaves(state.ema_params),
+                         leaves(state.params)):
+        np.testing.assert_allclose(
+            np.asarray(e1), e0 * d + (1 - d) * np.asarray(p),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_ema_short_run_not_init_dominated():
+    """The round-4 failure mode: constant decay 0.999 left the EMA pinned
+    at the random init for ~1000 steps (681.5 vs 511.0 mm on a 600-step
+    run, docs/ROUND4.md §4). With the ramp, after a handful of steps the
+    average must sit far closer to the live params than to the init."""
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    init = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    step = make_train_step(model, donate=False, ema_decay=0.999)
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        state, _ = step(state, _batch(rng), jax.random.PRNGKey(i))
+
+    leaves = jax.tree_util.tree_leaves
+    d_param = d_init = 0.0
+    for e, p, i0 in zip(leaves(state.ema_params), leaves(state.params), init):
+        d_param += float(np.sum((np.asarray(e) - np.asarray(p)) ** 2))
+        d_init += float(np.sum((np.asarray(e) - i0) ** 2))
+    # constant 0.999 decay after 5 steps would give d_init ≈ 0:
+    # ema ≈ init to 0.5%. The ramp must pull the average well away.
+    assert d_param < d_init, (
+        f"EMA still init-dominated: |ema-params|²={d_param:.3e} "
+        f">= |ema-init|²={d_init:.3e}"
     )
 
 

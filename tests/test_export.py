@@ -185,3 +185,35 @@ def test_int8_quantized_export_smaller_and_close(tmp_path):
     assert np.abs(out_q - out_fp).max() < 0.2 * scale, (
         np.abs(out_q - out_fp).max(), scale
     )
+
+
+@pytest.mark.slow
+def test_export_vit_trained_with_pallas_attention(tmp_path):
+    """The export story for Pallas-trained transformer checkpoints
+    (VERDICT r4 item 3): checkpoints carry only weights — the attention
+    backend is a program choice, not state — so export always lowers
+    through the portable XLA attention path (cli/export.py default) and
+    the artifact must agree with the live Pallas-attention model within
+    the bf16 fusion budget. CPU stand-in for the chip kernel is
+    ``pallas_interpret`` (the same kernel, interpreted)."""
+    from pose3d_tpu.models import build_model
+
+    # one parameter set, two programs over it
+    model_pallas, variables = init_model(
+        TINY_VIT, batch_size=2, attention_backend="pallas_interpret"
+    )
+    model_xla = build_model(TINY_VIT, attention_backend="xla")
+
+    exp = export_lifter(model_xla, variables, (64, 64), batch_size=2)
+    save_exported(exp, tmp_path / "art")
+    art = load_exported(tmp_path / "art")
+
+    img, dep, kp = _inputs(np.random.default_rng(2), 2, 64)
+    live = np.asarray(
+        model_pallas.apply(variables, img, dep, kp, train=False)
+    )
+    via_artifact = np.asarray(art.call(img, dep, kp))
+    assert live.shape == via_artifact.shape == (2, 17, 3)
+    # kernel-vs-einsum numerics (2e-7 fwd at fp32; here the model runs
+    # bf16 activations) + separate-compilation fusion reorders
+    np.testing.assert_allclose(via_artifact, live, rtol=2e-2, atol=1e-2)

@@ -159,3 +159,64 @@ def test_hybrid_fsdp_keeps_params_within_slice():
         )
         some_sharded = some_sharded or "data" in names
     assert some_sharded, "no parameter was actually FSDP-sharded"
+
+
+@pytest.mark.slow
+def test_grouped_step_compute_stays_data_parallel():
+    """Regression for the round-5 grouped-mode sharding fix: with the B
+    axis sharded, the A-major [A,B]→[A·B] flatten interleaved ownership
+    along the flat axis, and GSPMD responded by ALL-GATHERING the whole
+    batch and running every convolution replicated at the full flat batch
+    on all devices (zero data-parallel speedup). The group-minor flatten
+    (train/step.py grouped_step) keeps the flat axis contiguously sharded.
+
+    Asserts on the compiled SPMD HLO of a 4-device hybrid mesh:
+      * no collective moves a full-batch image-sized operand;
+      * convolutions run at the LOCAL batch (flat/4), not the global one;
+      * the only batch-stat traffic is [G, C]-sized all-reduces.
+    """
+    import re
+
+    devices = jax.devices()[:4]
+    mesh = make_hybrid_mesh(
+        (2,), devices=devices, slice_key=lambda d: d.id < devices[2].id
+    )
+    accum, b = 2, 4
+    flat = accum * b
+    model, variables = init_model(TINY, batch_size=b)
+    state = create_train_state(model, variables)
+    step = make_train_step(model, mesh=mesh, donate=False,
+                           accum_mode="grouped")
+    rng = np.random.default_rng(0)
+    txt = step.lower(state, _batch(rng, accum, b), jax.random.PRNGKey(0)
+                     ).compile().as_text()
+
+    coll_re = re.compile(
+        r"%(?:all-reduce|all-gather|reduce-scatter|all-to-all)[.0-9]* = "
+        r"\(?[a-z0-9]+\[([0-9,]*)\]"
+    )
+    for m in coll_re.finditer(txt):
+        dims = [int(x) for x in m.group(1).split(",") if x]
+        n_elems = int(np.prod(dims)) if dims else 1
+        # image-scale collective = the all-gather regression; BN stat
+        # partials are [G, C] (tiny), gradient all-reduce is param-sized.
+        assert n_elems < flat * 32 * 32, (
+            f"full-batch-scale collective in grouped step: {m.group(0)}"
+        )
+
+    conv_re = re.compile(r"= [a-z0-9]+\[([0-9,]+)\]\{[^}]*\} convolution")
+    # Feature-map convolutions are NHWC with square spatial dims >= 4
+    # (TINY runs 32->16->8); weight-gradient convs have kernel-sized
+    # (3x3/1x1) middle dims and channel-sized leading dims — exclude them.
+    batch_convs = []
+    for m in conv_re.finditer(txt):
+        dims = [int(x) for x in m.group(1).split(",")]
+        if len(dims) == 4 and dims[1] == dims[2] and dims[1] >= 4:
+            batch_convs.append(dims[0])
+    assert batch_convs, "no feature-map convolutions found in compiled HLO"
+    assert all(bc != flat for bc in batch_convs), (
+        f"convolution at the full flat batch {flat}: compute is replicated"
+    )
+    assert any(bc == flat // 4 for bc in batch_convs), (
+        f"no convolution at local batch {flat // 4}; got {set(batch_convs)}"
+    )
