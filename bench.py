@@ -388,27 +388,32 @@ def main():
     # steps/sec of the 100-image step = imgs_per_sec / 100
     _mfu_fields(fl.get("flops"), train_ref / 100.0, extra, "cnn_train")
 
-    # (name, cost-estimate seconds, fn, flops-postproc). Estimates assume
-    # a COLD compile cache (~40-90 s per new XLA program + transfers +
-    # timed reps); with the persistent cache warm each extra is far
-    # cheaper and the whole surface fits the default 600 s budget.
+    # (name, cost-estimate seconds, fn, flops-postproc). Estimates are the
+    # WARM-persistent-cache costs measured in the round-5 dress rehearsal
+    # (per-extra `_t_*` fields in BENCH_r05 / docs/ROUND5.md) plus ~50%
+    # headroom — the driver's run starts against the cache this session
+    # pre-warmed at ~/.cache/pose3d_tpu/jax_cache (/root persists across
+    # rounds; /tmp does not — the round-4 cold-run lesson). Ordered so the
+    # MFU-carrying programs (ViT, YOLO) run before the accumulation-variant
+    # continuity numbers: under a tight budget the trailing variants are
+    # the right things to lose.
     def _train_variant(**kw):
         def run():
             return bench_train(model, variables, **kw)
         return run
 
     extras_plan = [
-        ("forward_b10_images_per_sec", 60,
+        ("forward_b10_images_per_sec", 15,
          lambda: bench_forward(model, variables, batch=10)),
-        ("host_pipeline", 45, bench_host_pipeline),
-        ("train_step_b100x1_images_per_sec", 150,
+        ("host_pipeline", 15, bench_host_pipeline),
+        ("vit_train_step_b8_ms", 170, None),  # handled below (MFU)
+        ("yolo11x_pose_640_b8_images_per_sec", 45, None),
+        ("train_step_b100x1_images_per_sec", 70,
          _train_variant(accum=1, batch=100)),
-        ("train_step_ghost_10x10_images_per_sec", 150,
+        ("train_step_ghost_10x10_images_per_sec", 75,
          _train_variant(accum=10, batch=10, accum_mode="ghost")),
-        ("train_step_scan_10x10_images_per_sec", 180,
+        ("train_step_scan_10x10_images_per_sec", 100,
          _train_variant(accum=10, batch=10, accum_mode="scan", reps=3)),
-        ("vit_train_step_b8_ms", 240, None),  # handled below (MFU)
-        ("yolo11x_pose_640_b8_images_per_sec", 180, None),
     ]
     if full:  # heaviest programs are opt-in (POSE3D_BENCH_FULL=1)
         extras_plan += [
@@ -427,6 +432,7 @@ def main():
             # for 30-75 min (CLAUDE.md).
             extra[name] = "SKIPPED (budget)"
             continue
+        t_extra = time.perf_counter()
         try:
             if name == "vit_train_step_b8_ms":
                 fo: dict = {}
@@ -446,6 +452,7 @@ def main():
                 extra[name] = round(fn(), 2)
         except Exception as e:  # record, don't sink the primary metric
             extra[name] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
+        extra[f"_t_{name}"] = round(time.perf_counter() - t_extra, 1)
     if not full:
         extra["opt_in_note"] = (
             "augmented-train + DepthPro@1536 extras require "
