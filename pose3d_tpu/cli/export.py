@@ -103,8 +103,11 @@ def main(argv: Optional[List[str]] = None) -> str:
     state, _ = restore_train_state(
         create_train_state(model, variables, ema=args.ema), checkpoint
     )
-    params = state.ema_params if args.ema else state.params
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    if args.ema:
+        from pose3d_tpu.train.state import with_ema_params
+
+        state = with_ema_params(state)  # swaps params AND averaged BN stats
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     exported = export_lifter(
         model, variables, tuple(model_cfg.image_size),

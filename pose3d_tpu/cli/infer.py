@@ -60,6 +60,7 @@ def load_pose_model(checkpoint_path, model_type=None, ema=False):
     model, variables = init_model(model_cfg, batch_size=1)
     tree, _ = load_checkpoint(checkpoint_path)
     params = tree["params"]
+    batch_stats = tree.get("batch_stats", variables.get("batch_stats", {}))
     if ema:
         if "ema_params" not in tree:
             raise SystemExit(
@@ -67,11 +68,12 @@ def load_pose_model(checkpoint_path, model_type=None, ema=False):
                 "weights (train with --ema-decay to record them)"
             )
         params = tree["ema_params"]
+        # Averaged weights need the matching averaged BN stats (legacy
+        # EMA checkpoints lack the mirror — live stats reproduce their
+        # old behavior).
+        batch_stats = tree.get("ema_batch_stats", batch_stats)
         logger.info("Using EMA weights")
-    variables = {
-        "params": params,
-        "batch_stats": tree.get("batch_stats", variables.get("batch_stats", {})),
-    }
+    variables = {"params": params, "batch_stats": batch_stats}
     logger.info("3D Pose Model loaded successfully (%s).", model_type)
     return model, variables, model_cfg
 

@@ -387,7 +387,10 @@ def main(argv=None):
                 state = state.replace(
                     ema_params=jax.tree_util.tree_map(
                         lambda x: x.copy(), state.params
-                    )
+                    ),
+                    ema_batch_stats=jax.tree_util.tree_map(
+                        lambda x: x.copy(), state.batch_stats
+                    ),
                 )
         # (The inverse — resuming an EMA checkpoint without --ema-decay —
         # is safe by construction: restore only fills ema_params when the

@@ -345,6 +345,7 @@ def export_torch_checkpoint(
     cfg = make_model_config(model_type, **meta.get("model_args", {}))
 
     params = tree["params"]
+    batch_stats = tree.get("batch_stats", {})
     if ema:
         if "ema_params" not in tree:
             raise ValueError(
@@ -352,7 +353,10 @@ def export_torch_checkpoint(
                 "(train with --ema-decay to record them)"
             )
         params = tree["ema_params"]
-    variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+        # the torch export's BN running_mean/var buffers must come from
+        # the averaged mirror too (legacy checkpoints: live stats)
+        batch_stats = tree.get("ema_batch_stats", batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
 
     if model_type == "cnn":
         exporter = export_reference_cnn

@@ -56,13 +56,23 @@ def commit_state_to_mesh(state, mesh: Mesh, specs: Dict):
 
     tree = [state.step, state.params, state.opt_state, state.batch_stats]
     shardings = [repl, param_sh, opt_sh, bs_sh]
+    extra_fields = []
     ema = getattr(state, "ema_params", None)
     if ema is not None:
         # EMA weights mirror the param tree — same specs
         tree.append(ema)
         shardings.append(param_sh)
+        extra_fields.append("ema_params")
+    ema_bs = getattr(state, "ema_batch_stats", None)
+    if ema_bs is not None:
+        # EMA stats mirror batch_stats — replicated like them
+        tree.append(ema_bs)
+        shardings.append(
+            jax.tree_util.tree_map(lambda _: repl, ema_bs)
+        )
+        extra_fields.append("ema_batch_stats")
     placed = jax.device_put(tuple(tree), tuple(shardings))
-    kw = {"ema_params": placed[4]} if ema is not None else {}
+    kw = dict(zip(extra_fields, placed[4:]))
     return state.replace(
         step=placed[0], params=placed[1], opt_state=placed[2],
         batch_stats=placed[3], **kw,

@@ -52,6 +52,8 @@ def _state_tree(state) -> Dict:
     }
     if getattr(state, "ema_params", None) is not None:
         tree["ema_params"] = state.ema_params
+    if getattr(state, "ema_batch_stats", None) is not None:
+        tree["ema_batch_stats"] = state.ema_batch_stats
     return tree
 
 
@@ -208,16 +210,22 @@ def apply_retention(prefix: str, model_type: str, keep_last: int) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def checkpoint_has_ema(path) -> bool:
-    """Whether the checkpoint carries EMA weights (saved by training with
-    ema enabled) — checked from the orbax metadata, no array reads."""
+def _checkpoint_top_keys(path):
+    """Top-level keys of the saved state tree, from the orbax metadata —
+    no array reads. Empty on any failure."""
     try:
         with ocp.PyTreeCheckpointer() as ckptr:
             md = ckptr.metadata(Path(path).absolute() / "state")
         md_tree = getattr(getattr(md, "item_metadata", md), "tree", md)
-        return "ema_params" in md_tree
+        return set(md_tree)
     except Exception:
-        return False
+        return set()
+
+
+def checkpoint_has_ema(path) -> bool:
+    """Whether the checkpoint carries EMA weights (saved by training with
+    ema enabled) — checked from the orbax metadata, no array reads."""
+    return "ema_params" in _checkpoint_top_keys(path)
 
 
 def load_checkpoint_meta(path) -> Dict:
@@ -252,8 +260,15 @@ def load_checkpoint(path, template_state=None) -> Tuple[Dict, Dict]:
                 # include EMA weights only when the checkpoint carries them
                 # (a pre-EMA checkpoint restores into an EMA-enabled state,
                 # which keeps its freshly-initialized ema_params)
-                if checkpoint_has_ema(path):
+                keys = _checkpoint_top_keys(path)
+                if "ema_params" in keys:
                     template["ema_params"] = template_state.ema_params
+                if ("ema_batch_stats" in keys and
+                        getattr(template_state, "ema_batch_stats", None)
+                        is not None):
+                    template["ema_batch_stats"] = (
+                        template_state.ema_batch_stats
+                    )
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
             )
@@ -275,6 +290,26 @@ def load_checkpoint(path, template_state=None) -> Tuple[Dict, Dict]:
     return tree, meta
 
 
+def _ema_restore_kw(tree, state):
+    """replace() kwargs for the EMA slots of ``state`` from a restored
+    ``tree``. Legacy EMA checkpoints (ema_params but no ema_batch_stats —
+    recorded before the stats mirror existed) seed the stats mirror from
+    the restored LIVE running stats: that reproduces the old eval
+    behavior exactly and the mirror converges to the proper average as
+    training continues."""
+    kw = {}
+    if "ema_params" in tree and getattr(state, "ema_params", None) is not None:
+        kw["ema_params"] = tree["ema_params"]
+        if getattr(state, "ema_batch_stats", None) is not None:
+            kw["ema_batch_stats"] = (
+                tree["ema_batch_stats"] if "ema_batch_stats" in tree
+                else jax.tree_util.tree_map(
+                    jax.numpy.copy, tree["batch_stats"]
+                )
+            )
+    return kw
+
+
 def restore_train_state(state, path):
     """Return a copy of ``state`` with arrays restored from ``path``.
     Optimizer-state/architecture mismatches fall back to params-only restore
@@ -287,10 +322,7 @@ def restore_train_state(state, path):
                 params=tree["params"],
                 batch_stats=tree["batch_stats"],
                 opt_state=tree["opt_state"],
-                **(
-                    {"ema_params": tree["ema_params"]}
-                    if "ema_params" in tree else {}
-                ),
+                **_ema_restore_kw(tree, state),
             ),
             meta,
         )
@@ -306,9 +338,7 @@ def restore_train_state(state, path):
             "moments). Cause:", path, exc_info=True,
         )
         tree, meta = load_checkpoint(path)
-        kw = {}
-        if "ema_params" in tree and getattr(state, "ema_params", None) is not None:
-            kw["ema_params"] = tree["ema_params"]
+        kw = _ema_restore_kw(tree, state)
         return (
             state.replace(
                 step=jax.numpy.asarray(tree["step"]),

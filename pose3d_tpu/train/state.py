@@ -25,6 +25,16 @@ class TrainState:
     # reference has no weight averaging). None = disabled — None is an
     # empty pytree so jit/sharding treat the state identically.
     ema_params: Any = None
+    # EMA mirror of the BatchNorm running statistics, averaged with the
+    # same ramped decay as ema_params (timm ModelEma semantics: the FULL
+    # model state is averaged, buffers included). Averaged weights paired
+    # with the LIVE model's running stats are an era mismatch that breaks
+    # a BatchNorm network outright — measured 2909 mm EMA vs 491 mm raw
+    # held-out MPJPE on a 600-step CNN run (docs/ROUND5.md; the LayerNorm
+    # ViT, which normalizes per-sample, improved under the same protocol).
+    # None when EMA is off, or on legacy checkpoints recorded before this
+    # field existed (with_ema_params then falls back to live stats).
+    ema_batch_stats: Any = None
 
 
 def make_lr_schedule(
@@ -153,18 +163,27 @@ def create_train_state(
         opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
-        # EMA starts at the initial params. COPIED buffers, not aliases —
-        # the train step donates the state, and donating the same buffer
-        # through both params and ema_params is an XLA error.
+        # EMA starts at the initial params/stats. COPIED buffers, not
+        # aliases — the train step donates the state, and donating the
+        # same buffer through both params and ema_params is an XLA error.
         ema_params=(
             jax.tree_util.tree_map(jax.numpy.copy, params) if ema else None
+        ),
+        ema_batch_stats=(
+            jax.tree_util.tree_map(jax.numpy.copy, batch_stats)
+            if ema else None
         ),
     )
 
 
 def with_ema_params(state: TrainState) -> TrainState:
-    """State whose live params are the EMA weights — feed to eval/export.
-    No-op when EMA is disabled."""
+    """State whose live params (and BatchNorm running stats, when the
+    averaged mirror exists) are the EMA view — feed to eval/export.
+    No-op when EMA is disabled. Legacy checkpoints recorded before
+    ema_batch_stats existed fall back to the live running stats."""
     if state.ema_params is None:
         return state
-    return state.replace(params=state.ema_params)
+    kw = {}
+    if state.ema_batch_stats is not None:
+        kw["batch_stats"] = state.ema_batch_stats
+    return state.replace(params=state.ema_params, **kw)

@@ -151,8 +151,10 @@ def make_train_step(
     pre-places the params and GSPMD propagates their layouts.
 
     ``ema_decay``: maintain an exponential moving average of the params
-    inside the step (state.ema_params ← d_t·ema + (1−d_t)·params after the
-    optimizer update; requires create_train_state(ema=True)). The
+    AND the BatchNorm running statistics inside the step (state.ema_params
+    ← d_t·ema + (1−d_t)·params after the optimizer update, ditto
+    state.ema_batch_stats over the updated running stats — timm ModelEma
+    semantics; requires create_train_state(ema=True)). The
     effective decay ramps, d_t = min(ema_decay, (1+t)/(10+t)) with t the
     optimizer step count, so short runs aren't dominated by the random
     init the average starts from (round-4 measurement: constant 0.999 gave
@@ -315,6 +317,16 @@ def make_train_step(
                 lambda e, p: e * d + (1.0 - d) * p,
                 state.ema_params, params,
             )
+            if state.ema_batch_stats is not None:
+                # Average the BatchNorm running stats with the same decay
+                # (timm ModelEma: buffers are part of the averaged model).
+                # Averaged weights + the LIVE model's stats are an era
+                # mismatch that breaks a BN net — 2909 mm vs 491 mm raw on
+                # the 600-step CNN demo (docs/ROUND5.md).
+                kw["ema_batch_stats"] = jax.tree_util.tree_map(
+                    lambda e, s: e * d + (1.0 - d) * s,
+                    state.ema_batch_stats, batch_stats,
+                )
         new_state = state.replace(
             step=state.step + 1,
             params=params,

@@ -158,7 +158,8 @@ def _load_state_arrays(ckpt_dir):
 
     tree, _ = load_checkpoint(Path(ckpt_dir))
     flat = {}
-    for part in ("params", "ema_params", "batch_stats", "opt_state"):
+    for part in ("params", "ema_params", "batch_stats", "ema_batch_stats",
+                 "opt_state"):
         if tree.get(part) is not None:
             # tree_flatten, not a dict walk: opt_state restores as a LIST
             # (the optax chain), which a dict walk would treat as one leaf
@@ -273,7 +274,8 @@ def main():
     model = build_model(cfg)
     tree, _ = load_checkpoint(final_a)
     variables = {"params": tree["ema_params"],
-                 "batch_stats": tree["batch_stats"]}
+                 "batch_stats": tree.get("ema_batch_stats",
+                                         tree["batch_stats"])}
 
     rng = np.random.default_rng(0)
     img = rng.uniform(size=(4, 64, 64, 3)).astype(np.float32)

@@ -58,15 +58,23 @@ def main():
 
     out_root = Path(args.out or tempfile.mkdtemp(prefix="quant_acc_"))
 
-    variants = {"": tree["params"]}
+    # (params, batch_stats) per variant: the EMA view pairs the averaged
+    # weights with the AVERAGED BN running stats (ema_batch_stats) — live
+    # stats with averaged weights are an era mismatch that breaks a BN net
+    # (2909 mm vs 491 mm raw, docs/ROUND5.md; legacy checkpoints without
+    # the mirror fall back to live stats).
+    variants = {"": (tree["params"], tree.get("batch_stats"))}
     if tree.get("ema_params") is not None:
-        variants["ema"] = tree["ema_params"]
+        variants["ema"] = (
+            tree["ema_params"],
+            tree.get("ema_batch_stats", tree.get("batch_stats")),
+        )
 
     report = {}
-    for tag, params in variants.items():
+    for tag, (params, bstats) in variants.items():
         variables = {"params": params}
-        if tree.get("batch_stats"):  # transformer checkpoints carry none
-            variables["batch_stats"] = tree["batch_stats"]
+        if bstats:  # transformer checkpoints carry none
+            variables["batch_stats"] = bstats
         for quant in (None, "int8"):
             name = "_".join(x for x in (tag, quant or "f32") if x)
             exported = serve.export_lifter(

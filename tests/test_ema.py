@@ -54,6 +54,7 @@ def test_ema_tracks_closed_form():
 
     leaves = jax.tree_util.tree_leaves
     expected = [np.asarray(x) for x in leaves(state.params)]
+    expected_bs = [np.asarray(x) for x in leaves(state.batch_stats)]
     rng = np.random.default_rng(0)
     for i in range(3):
         state, _ = step(state, _batch(rng), jax.random.PRNGKey(i))
@@ -62,7 +63,15 @@ def test_ema_tracks_closed_form():
             e * dt + (1 - dt) * np.asarray(p)
             for e, p in zip(expected, leaves(state.params))
         ]
+        # the BN running stats are averaged with the SAME ramped decay
+        # (timm ModelEma full-state semantics, train/step.py)
+        expected_bs = [
+            e * dt + (1 - dt) * np.asarray(s)
+            for e, s in zip(expected_bs, leaves(state.batch_stats))
+        ]
     for e, a in zip(expected, leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), e, rtol=1e-6, atol=1e-7)
+    for e, a in zip(expected_bs, leaves(state.ema_batch_stats)):
         np.testing.assert_allclose(np.asarray(a), e, rtol=1e-6, atol=1e-7)
     # live params differ from the average
     assert any(
@@ -137,6 +146,12 @@ def test_with_ema_params_swap():
     for a, b in zip(jax.tree_util.tree_leaves(sw.params),
                     jax.tree_util.tree_leaves(state.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the EMA view pairs the averaged weights with the AVERAGED BN stats
+    # (live stats + averaged weights broke the 600-step CNN demo outright:
+    # 2909 mm vs 491 mm raw, docs/ROUND5.md)
+    for a, b in zip(jax.tree_util.tree_leaves(sw.batch_stats),
+                    jax.tree_util.tree_leaves(state.ema_batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # no-op when disabled
     plain = create_train_state(model, variables)
     assert with_ema_params(plain) is plain
@@ -158,6 +173,32 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     restored, _ = restore_train_state(fresh, path)
     for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
                     jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_batch_stats),
+                    jax.tree_util.tree_leaves(state.ema_batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_ema_checkpoint_seeds_stats_mirror(tmp_path):
+    """EMA checkpoints recorded before the ema_batch_stats mirror existed
+    (ema_params only) must restore with the stats mirror seeded from the
+    LIVE running stats — reproducing their old eval behavior exactly,
+    converging to the proper average as training continues."""
+    model, variables = init_model(TINY, batch_size=2)
+    state = create_train_state(model, variables, ema=True)
+    step = make_train_step(model, donate=False, ema_decay=0.8)
+    state, _ = step(state, _batch(np.random.default_rng(5)),
+                    jax.random.PRNGKey(0))
+    legacy = state.replace(ema_batch_stats=None)  # the old on-disk schema
+    path = save_checkpoint(tmp_path / "legacy_cnn_step_1", legacy, "cnn",
+                           TINY.to_dict())
+    assert checkpoint_has_ema(path)
+
+    model2, variables2 = init_model(TINY, batch_size=2)
+    fresh = create_train_state(model2, variables2, ema=True)
+    restored, _ = restore_train_state(fresh, path)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_batch_stats),
+                    jax.tree_util.tree_leaves(state.batch_stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -209,6 +250,9 @@ def test_infer_loader_uses_ema(tmp_path):
     _, ema_vars, _ = load_pose_model(path, ema=True)
     for a, b in zip(jax.tree_util.tree_leaves(ema_vars["params"]),
                     jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars["batch_stats"]),
+                    jax.tree_util.tree_leaves(state.ema_batch_stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert any(
         not np.array_equal(np.asarray(a), np.asarray(b))
