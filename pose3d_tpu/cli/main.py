@@ -232,12 +232,24 @@ def main(argv=None):
                      "exclusive — pick one augmentation path")
     cfg = GlobalConfig()
 
-    from pose3d_tpu.core.mesh import host_shard_info, initialize_distributed
+    from pose3d_tpu.core.mesh import (
+        host_shard_info,
+        initialize_distributed,
+        warmup_collectives,
+    )
 
     initialize_distributed(
         args.coordinator, args.num_processes, args.process_id
     )
     shard_id, num_shards = host_shard_info()
+    if num_shards > 1:
+        # bring the cross-host collectives context up NOW, while the
+        # processes are in lockstep from the init barrier — the lazy
+        # first-collective handshake has a short deadline that per-host
+        # compile-time skew can blow (see core/mesh.warmup_collectives)
+        total = warmup_collectives()
+        logger.info("Collectives warm: %d devices across %d hosts",
+                    int(total), num_shards)
 
     np.random.seed(cfg.random_seed)
     random.seed(cfg.random_seed)

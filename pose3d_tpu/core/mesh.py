@@ -40,6 +40,41 @@ def host_shard_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def warmup_collectives() -> float:
+    """Establish the cross-host collectives context with one tiny
+    all-reduce over every device, and return its result (= global device
+    count, a cheap cluster sanity check). No-op result on single-process.
+
+    Why: the communication backend initializes its peer connections
+    LAZILY at the first dispatched collective, under a short handshake
+    deadline (XLA:CPU's Gloo transport: ~30 s). In a real job the first
+    collective sits behind minutes of per-host compilation whose duration
+    can skew between hosts — observed on the 2-process CPU test: worker A
+    reached the first metrics all-reduce while worker B was still
+    compiling, Gloo's GetKeyValue timed out at 30 s and BOTH workers died
+    ("Gloo context initialization failed"). Dispatching this trivial
+    program right after jax.distributed.initialize — while the processes
+    are still in lockstep from the init barrier — brings the context up
+    in seconds; later collectives reuse it and can skew freely. Also
+    fails FAST (seconds, with a clear error) on a misconfigured cluster
+    instead of minutes into the first compiled step."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) == 1 and jax.process_count() == 1:
+        return 1.0
+    mesh = Mesh(np.asarray(devs), ("all",))
+    local = np.ones(len(jax.local_devices()), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all")), local, (len(devs),)
+    )
+    total = jax.jit(
+        lambda a: a.sum(), out_shardings=NamedSharding(mesh, P())
+    )(x)
+    return float(np.asarray(total))
+
+
 def make_mesh(
     shape: Sequence[int] = (-1,),
     axes: Sequence[str] = ("data",),

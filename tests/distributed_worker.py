@@ -21,6 +21,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Share the parent pytest's CPU-fingerprint-keyed compile cache (passed
+# via env by test_distributed_2proc): two cold workers on the 1-vCPU dev
+# host otherwise spend >10 min compiling the same programs every run.
+_cache = os.environ.get("_POSE3D_TEST_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     coordinator = sys.argv[1]
@@ -32,6 +40,7 @@ def main():
         host_shard_info,
         initialize_distributed,
         make_mesh,
+        warmup_collectives,
     )
 
     initialize_distributed(coordinator, num_processes, process_id)
@@ -39,6 +48,13 @@ def main():
     assert jax.process_index() == process_id, jax.process_index()
     assert jax.device_count() == 8, jax.device_count()
     assert len(jax.local_devices()) == 4
+
+    # Establish the Gloo collectives context while both processes are in
+    # lockstep from the init barrier: the lazy first-collective handshake
+    # has a ~30 s deadline, and per-worker XLA compile skew on this
+    # 1-vCPU host blows it ("Gloo context initialization failed" killed
+    # both workers — core/mesh.warmup_collectives has the full story).
+    assert warmup_collectives() == 8.0
 
     shard_id, num_shards = host_shard_info()
 

@@ -52,6 +52,14 @@ def test_two_process_distributed_train(tmp_path):
     ).strip()
     # keep each worker lean on the 1-vCPU host
     env.setdefault("OMP_NUM_THREADS", "1")
+    # share this pytest process's fingerprint-keyed persistent compile
+    # cache with the workers (they force CPU themselves): two cold
+    # workers recompiling every program serialized on 1 vCPU is what
+    # blows the timeout below
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        env["_POSE3D_TEST_CACHE"] = jax.config.jax_compilation_cache_dir
 
     procs = [
         subprocess.Popen(
@@ -66,11 +74,11 @@ def test_two_process_distributed_train(tmp_path):
         outs = []
         for p in procs:
             try:
-                out, err = p.communicate(timeout=600)
+                out, err = p.communicate(timeout=1500)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
-                pytest.fail("distributed worker timed out (600s)")
+                pytest.fail("distributed worker timed out (1500s)")
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
